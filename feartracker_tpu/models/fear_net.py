@@ -1,0 +1,77 @@
+"""FEARNet assembly: trunk + neck + BoxTower (ref: model_training/model/fear_net.py).
+
+Three entry points mirror the reference API:
+  * ``get_features(crop)``   — trunk + neck (ref: fear_net.py:63-66)
+  * ``track(search, template_features[, update])`` — inference step
+    (ref: fear_net.py:90-96), with the dual-template ``update`` hook exposed
+  * ``__call__((template, search))`` — training forward (ref: fear_net.py:83-88)
+
+Outputs are NHWC maps: regression (B, 16, 16, 4) after exp, classification
+logits (B, 16, 16, 1).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from feartracker_tpu.models.blocks import AdjustLayer, BoxTower
+from feartracker_tpu.models.fbnet import FBNetTrunk, FEAR_XS_TRUNK, IRBlockSpec
+from feartracker_tpu.utils.constants import (
+    TARGET_CLASSIFICATION_KEY,
+    TARGET_REGRESSION_LABEL_KEY,
+)
+
+
+class FEARNet(nn.Module):
+    trunk_blocks: Sequence[IRBlockSpec] = FEAR_XS_TRUNK
+    adjust_channels: int = 256
+    towernum: int = 2
+    dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        self.encoder = FBNetTrunk(blocks=self.trunk_blocks, **kw)
+        self.neck = AdjustLayer(features=self.adjust_channels, **kw)
+        self.connect_model = BoxTower(
+            features=self.adjust_channels, towernum=self.towernum, **kw
+        )
+
+    def get_features(self, crop: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.neck(self.encoder(crop, train), train)
+
+    def connector(
+        self,
+        template_features: jnp.ndarray,
+        search_features: jnp.ndarray,
+        update_features: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        bbox, cls, _, _ = self.connect_model(
+            search_features, template_features, update=update_features, train=train
+        )
+        return {
+            TARGET_REGRESSION_LABEL_KEY: bbox,
+            TARGET_CLASSIFICATION_KEY: cls,
+        }
+
+    def track(
+        self,
+        search: jnp.ndarray,
+        template_features: jnp.ndarray,
+        update_features: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        search_features = self.get_features(search, train)
+        return self.connector(template_features, search_features, update_features, train)
+
+    def __call__(
+        self, x: Tuple[jnp.ndarray, jnp.ndarray], train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        template, search = x
+        template_features = self.get_features(template, train)
+        search_features = self.get_features(search, train)
+        return self.connector(template_features, search_features, train=train)
