@@ -1,0 +1,70 @@
+"""Track one object through a video — CLI parity with the reference demo
+(ref: demo_video.py: ``python demo_video.py --initial_bbox=... --video_path=...``).
+
+Default weights come straight from the reference's released CoreML export.
+
+Usage:
+    python demo_video.py --initial_bbox 163 53 45 174 \
+        --video_path /root/reference/assets/test.mp4 --output_path outputs/test.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import numpy as np
+
+DEFAULT_WEIGHTS = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+
+
+def get_tracker(weights_path: str, smooth: bool = False, platform: str = ""):
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    model = FEARNet()
+    variables = load_fear_xs(weights_path)
+    return FEARTracker(model, variables, TrackerConfig(smooth=smooth))
+
+
+def track(tracker, frames, initial_bbox: np.ndarray) -> List[np.ndarray]:
+    """(ref: demo_video.py:22-28)"""
+    tracked = [np.asarray(initial_bbox)]
+    tracker.initialize(frames[0], initial_bbox)
+    for frame in frames[1:]:
+        tracked.append(np.asarray(tracker.update(frame)["bbox"]))
+    return tracked
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--initial_bbox", type=int, nargs=4, default=[163, 53, 45, 174])
+    p.add_argument("--video_path", default="/root/reference/assets/test.mp4")
+    p.add_argument("--output_path", default="outputs/test.mp4")
+    p.add_argument("--weights_path", default=DEFAULT_WEIGHTS)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--smooth", action="store_true", help="penalty-window decode + size smoothing")
+    p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
+    args = p.parse_args()
+
+    from feartracker_tpu.utils.video import draw_bbox, read_video, video_fps, write_video
+
+    tracker = get_tracker(args.weights_path, smooth=args.smooth, platform=args.platform)
+    frames = read_video(args.video_path, max_frames=args.max_frames)
+    bboxes = track(tracker, frames, np.array(args.initial_bbox))
+
+    os.makedirs(os.path.dirname(args.output_path) or ".", exist_ok=True)
+    write_video(args.output_path, [draw_bbox(f, b) for f, b in zip(frames, bboxes)], fps=video_fps(args.video_path))
+    print(f"tracked {len(frames)} frames -> {args.output_path}")
+    print("final bbox:", list(map(int, bboxes[-1])))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Device-side crop engine: fused crop + pad + resize + normalize, jittable.
+
+The reference crops on the host with cv2 every frame and uploads the result
+(ref: fear_tracker.py:53-59 → utils/utils.py:215-253), crossing the
+host↔device boundary twice per frame. Here the full frame lives in HBM and a
+fixed-size crop is produced on device by bilinear gather — the key departure
+that lets the whole tracking step run inside one jitted ``lax.scan``
+(SURVEY.md §7 step 2).
+
+Semantics match the host path: the source window is the integer context
+window from ``extend_bbox``; samples outside the frame read the per-stream
+pad color (the reference pads first, then cv2-resizes — sampling the virtual
+padded frame is equivalent); the resize uses cv2's INTER_LINEAR sample grid
+``src = (dst + 0.5)·scale − 0.5``.
+
+Output shapes are static (128²/256²) — only the *source* window varies — so
+the op is scan- and vmap-friendly (SURVEY.md §7 "dynamic shapes").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from feartracker_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+
+def crop_resize(
+    frame: jnp.ndarray,
+    window: jnp.ndarray,
+    out_size: int,
+    pad_value: jnp.ndarray,
+) -> jnp.ndarray:
+    """Bilinear-sample an ``out_size``² crop of ``window`` from ``frame``.
+
+    Args:
+      frame: (H, W, C) float32 full frame.
+      window: (4,) float32 [x, y, w, h] integer-valued source window (may
+        extend past the frame).
+      out_size: static output side.
+      pad_value: (C,) fill color for out-of-frame samples.
+    Returns:
+      (out_size, out_size, C) float32 crop.
+    """
+    H, W = frame.shape[0], frame.shape[1]
+    wx, wy, ww, wh = window[0], window[1], window[2], window[3]
+
+    # cv2 INTER_LINEAR grid: src = (dst + 0.5) * (src_size / dst_size) - 0.5
+    d = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+    src_x = wx + d * ww - 0.5
+    src_y = wy + d * wh - 0.5
+
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    fx = (src_x - x0)[None, :, None]  # (1, out, 1)
+    fy = (src_y - y0)[:, None, None]  # (out, 1, 1)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def sample(yi, xi):
+        """frame[yi, xi] with out-of-bounds → pad_value; yi (out,), xi (out,)."""
+        inside_y = (yi >= 0) & (yi < H)
+        inside_x = (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        vals = frame[yc][:, xc]  # (out, out, C)
+        inside = inside_y[:, None, None] & inside_x[None, :, None]
+        return jnp.where(inside, vals, pad_value)
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x0 + 1)
+    v10 = sample(y0 + 1, x0)
+    v11 = sample(y0 + 1, x0 + 1)
+
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def normalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
+    """[0,255] float pixels → ImageNet-normalized (ref: base_tracker.py:69-81)."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    return (x - mean) / std
+
+
+def extended_crop_window(bbox: jnp.ndarray, offset: float) -> jnp.ndarray:
+    """Device twin of ``extend_bbox`` (ref: utils/utils.py:29-57): grow by
+    ``offset`` per side, truncate to integers."""
+    x, y, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+    out = jnp.stack([x - w * offset, y - h * offset, w * (1.0 + 2 * offset), h * (1.0 + 2 * offset)])
+    return jnp.trunc(out)
+
+
+def crop_bbox_in_window(bbox: jnp.ndarray, window: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Where ``bbox`` lands inside the resized crop (float, crop pixels) —
+    mirrors the padded_bbox → resize transform of the host path."""
+    scale_x = out_size / window[2]
+    scale_y = out_size / window[3]
+    x = (bbox[0] - window[0]) * scale_x
+    y = (bbox[1] - window[1]) * scale_y
+    return jnp.stack([x, y, bbox[2] * scale_x, bbox[3] * scale_y])
