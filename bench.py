@@ -1,0 +1,87 @@
+"""Headline benchmark: FEAR-XS tracked frames/sec/chip, batched streams.
+
+Protocol mirrors the reference's on-device FPS benchmark — 20 warmup + 100
+timed model calls on device-resident input (ref: README.md:43,
+evaluate/MeasurePerformance/.../Benchmark.swift:56-78) — applied to the
+TPU-native scan runtime: each call tracks a (T=32)-frame chunk of S=64
+independent streams entirely on device (crop → FEARNet → penalty-window
+decode → state carry), with the trained FEAR-XS weights recovered from the
+reference's CoreML export.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+``vs_baseline`` is measured against the driver-set north star of 1000
+tracked FPS/chip (BASELINE.json; the reference repo publishes no numbers —
+its paper claims ≈205 FPS on iPhone 11).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+WARMUP_CALLS = 20
+TIMED_CALLS = 100
+STREAMS = 64
+CHUNK = 32
+BASELINE_FPS = 1000.0
+
+TRACKER_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+VIDEO = "/root/reference/assets/test.mp4"
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.runtime import ScanTracker
+    from feartracker_tpu.utils.video import read_video
+
+    try:
+        video = read_video(VIDEO, max_frames=CHUNK + 1)
+    except Exception:
+        rng = np.random.RandomState(0)
+        video = rng.randint(0, 255, (CHUNK + 1, 256, 480, 3), dtype=np.uint8)
+
+    frames0 = jnp.asarray(np.broadcast_to(video[0], (STREAMS,) + video[0].shape))
+    chunk = jnp.asarray(
+        np.broadcast_to(video[1 : CHUNK + 1, None], (CHUNK, STREAMS) + video[0].shape)
+    )
+
+    model = FEARNet(dtype=jnp.bfloat16)
+    variables = load_fear_xs(TRACKER_ML)
+    tracker = ScanTracker(model, variables, dtype=jnp.bfloat16)
+
+    bboxes = jnp.asarray(np.tile(np.array([[163, 53, 45, 174]], np.float32), (STREAMS, 1)))
+    state = tracker.init(frames0, bboxes)
+
+    for _ in range(WARMUP_CALLS):
+        state, outs = tracker.track(state, chunk)
+    np.asarray(outs["bbox"][-1])  # full device sync
+
+    t0 = time.time()
+    for _ in range(TIMED_CALLS):
+        state, outs = tracker.track(state, chunk)
+    final_bbox = np.asarray(outs["bbox"][-1])
+    np.asarray(state.bbox)
+    elapsed = time.time() - t0
+
+    assert np.isfinite(final_bbox).all(), "non-finite tracking output"
+    fps = TIMED_CALLS * STREAMS * CHUNK / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "FEAR-XS tracked FPS/chip (64 streams, on-device scan)",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Fully on-device tracking runtime: ``lax.scan`` over frames, batched over
+independent video streams.
+
+This is the TPU-native replacement for the reference's per-frame Python loop
+(ref: demo_video.py:22-28, fear_tracker.py:46-67, SURVEY.md §3.1): the crop →
+normalize → backbone → correlation head → penalty-window decode → rescale →
+clamp chain is one jitted graph; the sequential frame dependence is carried by
+``lax.scan`` state, and throughput comes from batching S streams per chip
+(frame t of every stream in one batch — the MXU sees (S,256,256,3) batches
+instead of single images).
+
+The dual-template update — absent from the released reference code but left
+as a hook (ref: blocks.py:174-181, README.md:96) — runs here on device: when
+confidence exceeds a threshold, a fresh template crop is taken at the
+predicted bbox, encoded, and EMA-blended into the dynamic template carried in
+scan state. No host round-trips anywhere in the loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from feartracker_tpu.core import postprocess as pp
+from feartracker_tpu.core.geometry_jax import clamp_bbox, rescale_crop_bbox
+from feartracker_tpu.models.fear_net import FEARNet
+from feartracker_tpu.ops.crop import (
+    crop_bbox_in_window,
+    crop_resize,
+    extended_crop_window,
+    normalize_imagenet,
+)
+from feartracker_tpu.tracker.config import TrackerConfig
+from feartracker_tpu.utils.constants import (
+    TARGET_CLASSIFICATION_KEY,
+    TARGET_REGRESSION_LABEL_KEY,
+)
+
+
+class StreamState(NamedTuple):
+    """Per-stream carried state (leading axis = streams)."""
+
+    template_feats: jnp.ndarray  # (S, 8, 8, C) static template
+    dyn_feats: jnp.ndarray  # (S, 8, 8, C) dynamic (dual) template
+    bbox: jnp.ndarray  # (S, 4) xywh, frame coords, float32
+    mean_color: jnp.ndarray  # (S, 3) pad color from the init frame
+    confidence: jnp.ndarray  # (S,) last classification peak
+
+
+class ScanTracker:
+    """Compiled multi-stream tracker.
+
+    Args:
+      model / variables: the FEARNet and its weights.
+      config: decode constants (static; baked into the jitted graphs).
+      dynamic_template: enable the on-device dual-template update.
+      update_threshold / update_rate: confidence gate and EMA rate for it.
+    """
+
+    def __init__(
+        self,
+        model: FEARNet,
+        variables: Dict[str, Any],
+        config: TrackerConfig = TrackerConfig(),
+        dynamic_template: bool = False,
+        update_threshold: float = 0.85,
+        update_rate: float = 0.1,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.dynamic_template = dynamic_template
+        self.update_threshold = update_threshold
+        self.update_rate = update_rate
+        self.dtype = dtype
+        self._init_jit = jax.jit(self._init_impl)
+        self._step_jit = jax.jit(self._step_impl)
+        self._track_jit = jax.jit(self._track_impl)
+
+    # -- building blocks ---------------------------------------------------
+
+    def _template_features(self, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color: jnp.ndarray) -> jnp.ndarray:
+        """Template crop (offset 0.2 → 128²) + encode (ref: fear_tracker.py:36-44)."""
+        cfg = self.config
+        windows = jax.vmap(extended_crop_window, (0, None))(bboxes, cfg.template_bbox_offset)
+        crops = jax.vmap(crop_resize, (0, 0, None, 0))(
+            frames.astype(jnp.float32), windows, cfg.template_size, mean_color
+        )
+        x = normalize_imagenet(crops).astype(self.dtype)
+        return self.model.apply(self.variables, x, method=self.model.get_features)
+
+    def _init_impl(self, frames: jnp.ndarray, bboxes: jnp.ndarray) -> StreamState:
+        H, W = frames.shape[1], frames.shape[2]
+        bboxes = clamp_bbox(bboxes.astype(jnp.float32), (H, W))
+        mean_color = jnp.mean(frames.astype(jnp.float32), axis=(1, 2))
+        feats = self._template_features(frames, bboxes, mean_color)
+        return StreamState(
+            template_feats=feats,
+            dyn_feats=feats,
+            bbox=bboxes,
+            mean_color=mean_color,
+            confidence=jnp.ones(frames.shape[0], jnp.float32),
+        )
+
+    def _step_impl(self, state: StreamState, frames: jnp.ndarray) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
+        cfg = self.config
+        H, W = frames.shape[1], frames.shape[2]
+        framesf = frames.astype(jnp.float32)
+
+        windows = jax.vmap(extended_crop_window, (0, None))(state.bbox, cfg.search_context)
+        crops = jax.vmap(crop_resize, (0, 0, None, 0))(framesf, windows, cfg.instance_size, state.mean_color)
+        x = normalize_imagenet(crops).astype(self.dtype)
+
+        update = state.dyn_feats if self.dynamic_template else None
+        out = self.model.apply(self.variables, x, state.template_feats, update, method=self.model.track)
+
+        prev_size = jax.vmap(crop_bbox_in_window, (0, 0, None))(state.bbox, windows, cfg.instance_size)[:, 2:]
+        res = pp.postprocess(
+            out[TARGET_CLASSIFICATION_KEY].astype(jnp.float32),
+            out[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
+            cfg.postprocess,
+            prev_size=prev_size,
+        )
+        bbox = rescale_crop_bbox(res.bbox, windows, cfg.instance_size)
+        bbox = clamp_bbox(bbox, (H, W))
+
+        dyn = state.dyn_feats
+        if self.dynamic_template:
+            cand = self._template_features(framesf, bbox, state.mean_color)
+            gate = (res.confidence > self.update_threshold)[:, None, None, None]
+            blended = (1.0 - self.update_rate) * dyn + self.update_rate * cand
+            dyn = jnp.where(gate, blended, dyn)
+
+        new_state = StreamState(
+            template_feats=state.template_feats,
+            dyn_feats=dyn,
+            bbox=bbox,
+            mean_color=state.mean_color,
+            confidence=res.confidence,
+        )
+        outputs = {
+            "bbox": bbox,
+            "confidence": res.confidence,
+            "failure": res.confidence < cfg.confidence_threshold,
+        }
+        return new_state, outputs
+
+    def _track_impl(self, state: StreamState, frames: jnp.ndarray):
+        """frames: (T, S, H, W, 3) → (state, outputs stacked over T)."""
+        return jax.lax.scan(self._step_impl, state, frames)
+
+    # -- public API --------------------------------------------------------
+
+    def init(self, frames, bboxes) -> StreamState:
+        """First frame of every stream + initial boxes → carried state."""
+        return self._init_jit(jnp.asarray(frames), jnp.asarray(bboxes))
+
+    def step(self, state: StreamState, frames) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
+        """One frame for every stream."""
+        return self._step_jit(state, jnp.asarray(frames))
+
+    def track(self, state: StreamState, frames) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
+        """A chunk of frames (T, S, H, W, 3), scanned on device."""
+        return self._track_jit(state, jnp.asarray(frames))

@@ -1,0 +1,102 @@
+"""Optimizer + LR schedule factory.
+
+Builds optax chains from the same config keys the reference's YAML groups
+carry (ref: config/optimizer/{adam,adamw,sgd}.yaml,
+config/scheduler/plateau_{max,min}.yaml). Note the reference *ignored* those
+files and hardcoded Adam(1e-4) + ReduceLROnPlateau(factor .5, patience 5)
+(ref: base_lightning_model.py:63-71, noted as a ToDo there); here the config
+actually drives the optimizer, with the reference's hardcoded values as the
+defaults.
+
+Plateau scheduling is inherently host-driven (it reacts to epoch-level val
+metrics), so the learning rate is exposed through
+``optax.inject_hyperparams`` and adjusted between epochs by
+:class:`PlateauScheduler` — the jitted train step never recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import optax
+
+
+def build_optimizer(config: Optional[Dict[str, Any]] = None) -> optax.GradientTransformation:
+    config = dict(config or {})
+    name = config.get("name", "adam")
+    lr = float(config.get("lr", 1e-4))
+    warmup = int(config.get("warmup_steps", 0))
+
+    def make(learning_rate):
+        if name == "adam":
+            return optax.adam(learning_rate)
+        if name == "adamw":
+            return optax.adamw(
+                learning_rate,
+                eps=float(config.get("eps", 1e-8)),
+                weight_decay=float(config.get("weight_decay", 0.0)),
+            )
+        if name == "sgd":
+            return optax.sgd(
+                learning_rate,
+                momentum=float(config.get("momentum", 0.0)),
+                nesterov=bool(config.get("nesterov", False)),
+            )
+        raise ValueError(f"unknown optimizer {name!r}")
+
+    tx = optax.inject_hyperparams(lambda learning_rate: make(learning_rate))(learning_rate=lr)
+    if warmup > 0:
+        # linear warmup as a multiplicative schedule on top of the injected lr
+        sched = optax.linear_schedule(0.0, 1.0, warmup)
+        tx = optax.chain(tx, optax.scale_by_schedule(sched))
+    return tx
+
+
+def get_learning_rate(opt_state) -> float:
+    """Read the injected lr out of a (possibly chained) optimizer state."""
+    state = opt_state[0] if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams") else opt_state
+    return float(state.hyperparams["learning_rate"])
+
+
+def set_learning_rate(opt_state, lr: float):
+    state = opt_state[0] if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams") else opt_state
+    state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau with the reference's semantics
+    (ref: base_lightning_model.py:65-69: factor .5, patience 5, min_lr 1e-6,
+    mode from ``metric_mode``)."""
+
+    def __init__(
+        self,
+        mode: str = "max",
+        factor: float = 0.5,
+        patience: int = 5,
+        min_lr: float = 1e-6,
+    ):
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def update(self, metric: float, current_lr: float) -> float:
+        """Feed an epoch-level metric; returns the (possibly reduced) lr."""
+        improved = (
+            self.best is None
+            or (self.mode == "max" and metric > self.best)
+            or (self.mode == "min" and metric < self.best)
+        )
+        if improved:
+            self.best = metric
+            self.bad_epochs = 0
+            return current_lr
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            return max(self.min_lr, current_lr * self.factor)
+        return current_lr

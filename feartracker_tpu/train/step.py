@@ -1,0 +1,154 @@
+"""The jitted training step: loss, grads, sync-BN, data-parallel update.
+
+Replaces the reference's Lightning ``training_step`` + DDP machinery
+(ref: fear_lightning_model.py:56-91, trainer.py:47-70): one pure function,
+wrapped in ``shard_map`` over the ``data`` mesh axis so that
+  * the batch is sharded over ICI,
+  * gradients are ``pmean``-ed (≙ NCCL all-reduce),
+  * BatchNorm reduces its statistics over the axis (≙ ``sync_batchnorm``,
+    config/backend/2gpu.yaml:5) via the model's ``bn_axis_name``.
+
+Per-step metrics (decoded-box IoU against the batch GT, failure rate,
+per-dataset IoU sums — ref: fear_lightning_model.py:66-91) are computed
+inside the same graph, on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from feartracker_tpu.core import box_coder as bc
+from feartracker_tpu.core.geometry_jax import box_iou_xywh
+from feartracker_tpu.models.fear_net import FEARNet
+from feartracker_tpu.parallel.mesh import DATA_AXIS
+from feartracker_tpu.train.loss import fear_loss
+from feartracker_tpu.utils.constants import (
+    DATASET_NAME_KEY,
+    TARGET_CLASSIFICATION_KEY,
+    TARGET_REGRESSION_LABEL_KEY,
+    TARGET_VISIBILITY_KEY,
+    TRACKER_TARGET_BBOX_KEY,
+    TRACKER_TARGET_SEARCH_IMAGE_KEY,
+    TRACKER_TARGET_TEMPLATE_IMAGE_KEY,
+)
+
+DATASET_ID_KEY = "DATASET_ID_KEY"  # int32 per-sample dataset index
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(model: FEARNet, tx: optax.GradientTransformation, rng, template_shape, search_shape) -> TrainState:
+    variables = model.init(rng, (jnp.zeros(template_shape), jnp.zeros(search_shape)), train=False)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _step_metrics(outputs, batch, spec: bc.BoxCoderSpec) -> Dict[str, jnp.ndarray]:
+    """Decoded-box IoU metrics masked by visibility
+    (ref: fear_lightning_model.py:66-91)."""
+    dec = bc.decode(
+        outputs[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
+        outputs[TARGET_CLASSIFICATION_KEY].astype(jnp.float32),
+        spec,
+        use_sigmoid=True,
+    )
+    gt = batch[TRACKER_TARGET_BBOX_KEY].astype(jnp.float32)
+    vis = batch[TARGET_VISIBILITY_KEY].reshape(-1).astype(jnp.float32)
+    ious = box_iou_xywh(dec.bbox, gt)
+    denom = jnp.maximum(vis.sum(), 1.0)
+    box_iou = jnp.sum(ious * vis) / denom
+    fail = jnp.sum((ious == 0).astype(jnp.float32) * vis) / denom
+    return {"box_iou": box_iou, "failure_rate": fail, "ious": ious, "visibility": vis}
+
+
+def make_train_step(
+    model: FEARNet,
+    tx: optax.GradientTransformation,
+    coeffs: Optional[Dict[str, float]] = None,
+    spec: bc.BoxCoderSpec = bc.BoxCoderSpec(),
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted train step. With ``mesh`` the step is shard_map-ed
+    over the ``data`` axis (model must be built with
+    ``bn_axis_name=DATA_AXIS``); without, it is plain single-device jit."""
+
+    def loss_fn(params, batch_stats, batch):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            (
+                batch[TRACKER_TARGET_TEMPLATE_IMAGE_KEY],
+                batch[TRACKER_TARGET_SEARCH_IMAGE_KEY],
+            ),
+            train=True,
+            mutable=["batch_stats"],
+        )
+        losses = fear_loss(out, batch, coeffs)
+        total = losses[TARGET_CLASSIFICATION_KEY] + losses[TARGET_REGRESSION_LABEL_KEY]
+        return total, (losses, out, mutated["batch_stats"])
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (total, (losses, out, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        metrics = _step_metrics(out, batch, spec)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            total = jax.lax.pmean(total, DATA_AXIS)
+            losses = jax.lax.pmean(losses, DATA_AXIS)
+            metrics = {
+                k: (jax.lax.pmean(v, DATA_AXIS) if v.ndim == 0 else v)
+                for k, v in metrics.items()
+            }
+            # BN stats were already cross-replica-averaged inside the model
+            # via bn_axis_name, but per-shard rounding can drift: pin exact
+            # replication with one more pmean (cheap; stats are tiny).
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+        scalars = {
+            "loss": total,
+            "cls_loss": losses[TARGET_CLASSIFICATION_KEY],
+            "reg_loss": losses[TARGET_REGRESSION_LABEL_KEY],
+            "box_iou": metrics["box_iou"],
+            "failure_rate": metrics["failure_rate"],
+        }
+        return new_state, {**scalars, "ious": metrics["ious"], "visibility": metrics["visibility"]}
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    out_metric_spec = {
+        "loss": P(),
+        "cls_loss": P(),
+        "reg_loss": P(),
+        "box_iou": P(),
+        "failure_rate": P(),
+        "ious": P(DATA_AXIS),
+        "visibility": P(DATA_AXIS),
+    }
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),  # state replicated, every batch leaf sharded
+        out_specs=(P(), out_metric_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
