@@ -1,0 +1,206 @@
+"""Siamese training dataset: CSV annotations → augmented (template, search)
+crop pairs with encoded label maps.
+
+Re-implementation of the reference's dataset stack
+(ref: model_training/dataset/tracking_dataset.py + siam_dataset.py) with the
+same crop geometry and label semantics, producing NHWC float32 numpy arrays
+ready for device upload. Label encoding reuses the pure-JAX box coder on host
+via numpy (encode is closed-form math).
+"""
+
+from __future__ import annotations
+
+import os
+import ast
+import random
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from feartracker_tpu.core.geometry import center_to_bbox, ensure_bbox_boundaries, handle_empty_bbox
+from feartracker_tpu.core.grids import make_grid_np
+from feartracker_tpu.data.augmentations import (
+    BBoxCropWithOffsets,
+    photometric_augmentations,
+    tracking_augmentations,
+)
+from feartracker_tpu.data.crops import get_extended_crop
+from feartracker_tpu.data.labels import get_regression_weight_label
+from feartracker_tpu.data.samplers import FrameSampler, TrackSampler
+from feartracker_tpu.utils import constants as C
+
+SAMPLER_TYPES = {"track": TrackSampler, "frame": FrameSampler}
+
+
+def read_img(path: str) -> np.ndarray:
+    """(ref: dataset/utils.py:35-43)"""
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"cannot read image {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def encode_maps_np(bbox: np.ndarray, score_size: int, stride: int, instance_size: int):
+    """Host twin of core.box_coder.encode for a single box (numpy)."""
+    gx, gy = make_grid_np(score_size, stride, instance_size)
+    left = gx - bbox[0]
+    top = gy - bbox[1]
+    right = bbox[0] + bbox[2] - gx
+    bottom = bbox[1] + bbox[3] - gy
+    reg = np.stack((left, top, right, bottom), axis=-1).astype(np.float32)
+    cls = (reg.min(axis=-1, keepdims=True) > 0).astype(np.float32)
+    return reg, cls
+
+
+class SiameseTrackingDataset:
+    """One CSV-annotated dataset (ref: siam_dataset.py:28-67)."""
+
+    def __init__(self, config: Dict[str, Any], tracker_config: Dict[str, Any], seed: Optional[int] = None):
+        self.config = config
+        self.tracker_config = tracker_config
+        sizes = dict(config["sizes"])
+        self.sizes = sizes
+        sampling = dict(config["sampling"])
+        sampler_cls = SAMPLER_TYPES[sampling.pop("type", "track")]
+        self.item_sampler = sampler_cls(**sampling, seed=seed)
+        self.item_sampler.parse_samples()
+        # search context doubles, randomized inside a range
+        # (ref: tracking_dataset.py:50,102-105)
+        self.search_context = sizes["search_context"] * 2
+        self.context_range = sizes.get("context_range", 0.5)
+        self.grid_size = config.get("regression_weight_label_size", tracker_config.get("score_size", 16))
+        self.root = config.get("root", "")
+        self.name = config.get("name", os.path.basename(str(self.root)) or "dataset")
+        self.photometric = photometric_augmentations()
+        self.paired_color = tracking_augmentations()
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return len(self.item_sampler)
+
+    def resample(self) -> None:
+        self.item_sampler.resample()
+
+    # -- crop transforms (ref: tracking_dataset.py:102-153) ----------------
+
+    def _search_offset(self) -> float:
+        min_context = self.search_context - self.context_range / 2
+        return float(self.rng.rand()) * self.context_range + min_context
+
+    def _search_transform(self, image: np.ndarray, bbox: np.ndarray):
+        size = self.sizes["search_image_size"]
+        crop, bbox2, _ = get_extended_crop(image, bbox, crop_size=size * 2, offset=self._search_offset())
+        bbox_crop = center_to_bbox([crop.shape[0] // 2, crop.shape[1] // 2, size, size])
+        aug = BBoxCropWithOffsets(
+            bbox_crop=bbox_crop,
+            scale=self.sizes["search_image_scale"],
+            shift=self.sizes["search_image_shift"],
+            crop_size=size,
+        )
+        crop, bbox3 = aug(crop, bbox2, self.rng)
+        bbox3 = handle_empty_bbox(ensure_bbox_boundaries(np.asarray(bbox3), (size, size)))
+        return crop, bbox3
+
+    def _template_transform(self, image: np.ndarray, bbox: np.ndarray):
+        size = self.sizes["template_image_size"]
+        crop, bbox2, _ = get_extended_crop(
+            image, bbox, crop_size=size, offset=self.sizes["template_bbox_offset"]
+        )
+        bbox2 = handle_empty_bbox(ensure_bbox_boundaries(np.asarray(bbox2), (size, size)))
+        return crop, bbox2
+
+    # -- item assembly ------------------------------------------------------
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        anno = self.item_sampler.extract_sample(idx)
+        template_item, search_item = anno["template"], anno["search"]
+        template_image = read_img(os.path.join(self.root, template_item["img_path"]))
+        search_image = read_img(os.path.join(self.root, search_item["img_path"]))
+        template_bbox = ensure_bbox_boundaries(
+            np.asarray(ast.literal_eval(str(template_item["bbox"]))), template_image.shape[:2]
+        )
+        search_bbox = ensure_bbox_boundaries(
+            np.asarray(ast.literal_eval(str(search_item["bbox"]))), search_image.shape[:2]
+        )
+        presence = int(search_item["presence"])
+
+        template_crop, template_bbox = self._template_transform(template_image, template_bbox)
+        search_crop, search_bbox = self._search_transform(search_image, search_bbox)
+        # shared-parameter color augs on the pair (ref: siam_dataset.py:36,64-67)
+        template_crop, search_crop = self.paired_color(template_crop, search_crop, self.rng)
+        # independent photometric augs (ref: tracking_dataset.py:170-175)
+        template_crop = self.photometric(template_crop, self.rng)
+        search_crop = self.photometric(search_crop, self.rng)
+
+        size = self.sizes["search_image_size"]
+        search_bbox = ensure_bbox_boundaries(np.asarray(search_bbox), (size, size))
+
+        if presence:
+            weight = get_regression_weight_label(search_bbox, size, self.grid_size)
+            reg, cls = encode_maps_np(
+                search_bbox.astype(np.float32),
+                self.grid_size,
+                self.tracker_config.get("total_stride", 16),
+                size,
+            )
+        else:  # (ref: siam_dataset.py:49-52)
+            weight = np.zeros((self.grid_size, self.grid_size), np.float32)
+            reg = np.zeros((self.grid_size, self.grid_size, 4), np.float32)
+            cls = np.zeros((self.grid_size, self.grid_size, 1), np.float32)
+
+        return {
+            C.TARGET_REGRESSION_LABEL_KEY: reg,
+            C.TARGET_CLASSIFICATION_KEY: cls,
+            C.TARGET_REGRESSION_WEIGHT_KEY: weight,
+            C.TRACKER_TARGET_TEMPLATE_IMAGE_KEY: _normalize(template_crop),
+            C.TRACKER_TEMPLATE_BBOX_KEY: template_bbox.astype(np.float32),
+            C.TRACKER_TARGET_SEARCH_IMAGE_KEY: _normalize(search_crop),
+            C.TRACKER_TARGET_BBOX_KEY: search_bbox.astype(np.float32),
+            C.TARGET_VISIBILITY_KEY: np.asarray([presence], np.float32),
+            C.TRACKER_TARGET_SEARCH_FILENAME_KEY: str(search_item["img_path"]),
+            C.TRACKER_TARGET_TEMPLATE_FILENAME_KEY: str(template_item["img_path"]),
+            C.DATASET_NAME_KEY: str(search_item.get("dataset", self.name)),
+            C.SAMPLE_INDEX_KEY: idx,
+        }
+
+
+def _normalize(img_u8: np.ndarray) -> np.ndarray:
+    mean = np.asarray(C.IMAGENET_MEAN, np.float32) * 255.0
+    std = np.asarray(C.IMAGENET_STD, np.float32) * 255.0
+    return (img_u8.astype(np.float32) - mean) / std
+
+
+class ConcatDataset:
+    """Minimal torch-style concat with per-dataset resample passthrough
+    (ref: dataset/__init__.py:56-68, fear_lightning_model.py:260-264)."""
+
+    def __init__(self, datasets: Sequence[Any]):
+        self.datasets = list(datasets)
+        self._lengths = [len(d) for d in self.datasets]
+
+    def __len__(self) -> int:
+        return sum(self._lengths)
+
+    def __getitem__(self, idx: int):
+        for d, n in zip(self.datasets, self._lengths):
+            if idx < n:
+                return d[idx]
+            idx -= n
+        raise IndexError(idx)
+
+    def resample(self) -> None:
+        for d in self.datasets:
+            d.resample()
+        self._lengths = [len(d) for d in self.datasets]
+
+
+def get_training_datasets(config: Dict[str, Any], seed: Optional[int] = None) -> ConcatDataset:
+    """Build the train ConcatDataset from a composed config
+    (ref: dataset/__init__.py:56-63)."""
+    datasets = []
+    for i, ds_cfg in enumerate(config["train"]["datasets"]):
+        datasets.append(
+            SiameseTrackingDataset(ds_cfg, config.get("tracker", {}), seed=None if seed is None else seed + i)
+        )
+    return ConcatDataset(datasets)
