@@ -52,6 +52,16 @@ FEAR_XS_TRUNK: Tuple[IRBlockSpec, ...] = (
 )
 
 
+# A 3-block stride-8 trunk for smoke tests / CI (compiles in seconds).
+TINY_TRUNK: Tuple[IRBlockSpec, ...] = (
+    IRBlockSpec(1, 3, 1, 8),
+    IRBlockSpec(2, 3, 2, 12),
+    IRBlockSpec(2, 5, 2, 16),
+)
+
+TRUNKS = {"fear_xs": FEAR_XS_TRUNK, "fear_tiny": TINY_TRUNK}
+
+
 class InvertedResidual(nn.Module):
     spec: IRBlockSpec
     dtype: Optional[jnp.dtype] = None

@@ -77,13 +77,17 @@ class ScanTracker:
         self.update_threshold = update_threshold
         self.update_rate = update_rate
         self.dtype = dtype
+        # weights ride as jit arguments (device arrays), not baked constants
         self._init_jit = jax.jit(self._init_impl)
         self._step_jit = jax.jit(self._step_impl)
         self._track_jit = jax.jit(self._track_impl)
 
+    def set_variables(self, variables: Dict[str, Any]) -> None:
+        self.variables = variables
+
     # -- building blocks ---------------------------------------------------
 
-    def _template_features(self, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color: jnp.ndarray) -> jnp.ndarray:
+    def _template_features(self, variables, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color: jnp.ndarray) -> jnp.ndarray:
         """Template crop (offset 0.2 → 128²) + encode (ref: fear_tracker.py:36-44)."""
         cfg = self.config
         windows = jax.vmap(extended_crop_window, (0, None))(bboxes, cfg.template_bbox_offset)
@@ -91,13 +95,13 @@ class ScanTracker:
             frames.astype(jnp.float32), windows, cfg.template_size, mean_color
         )
         x = normalize_imagenet(crops).astype(self.dtype)
-        return self.model.apply(self.variables, x, method=self.model.get_features)
+        return self.model.apply(variables, x, method=self.model.get_features)
 
-    def _init_impl(self, frames: jnp.ndarray, bboxes: jnp.ndarray) -> StreamState:
+    def _init_impl(self, variables, frames: jnp.ndarray, bboxes: jnp.ndarray) -> StreamState:
         H, W = frames.shape[1], frames.shape[2]
         bboxes = clamp_bbox(bboxes.astype(jnp.float32), (H, W))
         mean_color = jnp.mean(frames.astype(jnp.float32), axis=(1, 2))
-        feats = self._template_features(frames, bboxes, mean_color)
+        feats = self._template_features(variables, frames, bboxes, mean_color)
         return StreamState(
             template_feats=feats,
             dyn_feats=feats,
@@ -106,7 +110,7 @@ class ScanTracker:
             confidence=jnp.ones(frames.shape[0], jnp.float32),
         )
 
-    def _step_impl(self, state: StreamState, frames: jnp.ndarray) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
+    def _step_impl(self, variables, state: StreamState, frames: jnp.ndarray) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         cfg = self.config
         H, W = frames.shape[1], frames.shape[2]
         framesf = frames.astype(jnp.float32)
@@ -116,7 +120,7 @@ class ScanTracker:
         x = normalize_imagenet(crops).astype(self.dtype)
 
         update = state.dyn_feats if self.dynamic_template else None
-        out = self.model.apply(self.variables, x, state.template_feats, update, method=self.model.track)
+        out = self.model.apply(variables, x, state.template_feats, update, method=self.model.track)
 
         prev_size = jax.vmap(crop_bbox_in_window, (0, 0, None))(state.bbox, windows, cfg.instance_size)[:, 2:]
         res = pp.postprocess(
@@ -130,7 +134,7 @@ class ScanTracker:
 
         dyn = state.dyn_feats
         if self.dynamic_template:
-            cand = self._template_features(framesf, bbox, state.mean_color)
+            cand = self._template_features(variables, framesf, bbox, state.mean_color)
             gate = (res.confidence > self.update_threshold)[:, None, None, None]
             blended = (1.0 - self.update_rate) * dyn + self.update_rate * cand
             dyn = jnp.where(gate, blended, dyn)
@@ -149,20 +153,20 @@ class ScanTracker:
         }
         return new_state, outputs
 
-    def _track_impl(self, state: StreamState, frames: jnp.ndarray):
+    def _track_impl(self, variables, state: StreamState, frames: jnp.ndarray):
         """frames: (T, S, H, W, 3) → (state, outputs stacked over T)."""
-        return jax.lax.scan(self._step_impl, state, frames)
+        return jax.lax.scan(lambda c, f: self._step_impl(variables, c, f), state, frames)
 
     # -- public API --------------------------------------------------------
 
     def init(self, frames, bboxes) -> StreamState:
         """First frame of every stream + initial boxes → carried state."""
-        return self._init_jit(jnp.asarray(frames), jnp.asarray(bboxes))
+        return self._init_jit(self.variables, jnp.asarray(frames), jnp.asarray(bboxes))
 
     def step(self, state: StreamState, frames) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """One frame for every stream."""
-        return self._step_jit(state, jnp.asarray(frames))
+        return self._step_jit(self.variables, state, jnp.asarray(frames))
 
     def track(self, state: StreamState, frames) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """A chunk of frames (T, S, H, W, 3), scanned on device."""
-        return self._track_jit(state, jnp.asarray(frames))
+        return self._track_jit(self.variables, state, jnp.asarray(frames))

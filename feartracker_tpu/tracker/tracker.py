@@ -51,15 +51,18 @@ class FEARTracker:
         self.prev_size: Optional[np.ndarray] = None
         self.paths: deque = deque(maxlen=10)
 
+        # variables are an explicit jit argument: weights stay device
+        # arrays (not baked-in constants), so swapping weights — e.g. the
+        # in-training validation tracker — needs no recompilation.
         @jax.jit
-        def _features(crop_u8: jnp.ndarray) -> jnp.ndarray:
+        def _features(variables, crop_u8: jnp.ndarray) -> jnp.ndarray:
             x = _normalize(crop_u8)[None]
-            return self.model.apply(self.variables, x, method=self.model.get_features)
+            return self.model.apply(variables, x, method=self.model.get_features)
 
         @jax.jit
-        def _step(crop_u8: jnp.ndarray, feats: jnp.ndarray, prev_size: jnp.ndarray):
+        def _step(variables, crop_u8: jnp.ndarray, feats: jnp.ndarray, prev_size: jnp.ndarray):
             x = _normalize(crop_u8)[None]
-            out = self.model.apply(self.variables, x, feats, method=self.model.track)
+            out = self.model.apply(variables, x, feats, method=self.model.track)
             res = pp.postprocess(
                 out[TARGET_CLASSIFICATION_KEY],
                 out[TARGET_REGRESSION_LABEL_KEY],
@@ -68,8 +71,17 @@ class FEARTracker:
             )
             return res.bbox[0], res.confidence[0]
 
-        self._features_fn = _features
-        self._step_fn = _step
+        self._features_fn = partial(_features, self.variables)
+        self._step_fn = partial(_step, self.variables)
+        self._features_raw = _features
+        self._step_raw = _step
+
+    def set_variables(self, variables: Dict[str, Any]) -> None:
+        """Swap model weights (no recompile); resets the cached template."""
+        self.variables = variables
+        self._features_fn = partial(self._features_raw, variables)
+        self._step_fn = partial(self._step_raw, variables)
+        self.reset()
 
     def reset(self) -> None:
         self._template_features = None

@@ -1,0 +1,92 @@
+"""Checkpoint I/O: Orbax-backed top-k checkpointing + PyTorch-Lightning
+import.
+
+Replaces the reference's Lightning ``ModelCheckpointCallback`` (ref:
+train/callbacks.py:19-67: monitor ``valid/metrics/box_iou``, ``save_top_k``,
+``save_last``) and the fragile ``load_from_lighting`` loader (ref:
+utils/torch.py:12-25, which strips the ``model.`` prefix with a char-set
+``lstrip``). Unlike the reference — which saved weights only — the full train
+state (params, batch_stats, opt_state, step) is stored, so training resumes
+exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        metric_mode: str = "max",
+        save_last: bool = True,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.metric_mode = metric_mode
+        best_fn = (lambda m: m["monitor"]) if metric_mode == "max" else (lambda m: -m["monitor"])
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=best_fn,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self.save_last = save_last
+        self._last_dir = os.path.join(self.directory, "last")
+
+    def save(self, step: int, state, monitor: float) -> None:
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(jax.tree.map(np.asarray, state._asdict())),
+            metrics={"monitor": float(monitor)},
+        )
+        self._mgr.wait_until_finished()
+        if self.save_last:
+            ckptr = ocp.StandardCheckpointer()
+            path = os.path.join(self._last_dir, "state")
+            if os.path.exists(path):
+                import shutil
+
+                shutil.rmtree(path)
+            ckptr.save(path, jax.tree.map(np.asarray, state._asdict()))
+            ckptr.wait_until_finished()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def restore(self, state_like, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``state_like`` (a TrainState)."""
+        step = step if step is not None else self._mgr.best_step()
+        target = jax.tree.map(np.asarray, state_like._asdict())
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return type(state_like)(**restored)
+
+    def restore_last(self, state_like) -> Any:
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree.map(np.asarray, state_like._asdict())
+        restored = ckptr.restore(os.path.join(self._last_dir, "state"), target)
+        return type(state_like)(**restored)
+
+
+def load_lightning_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference PyTorch-Lightning ``.ckpt`` and return the model's
+    flat state dict (``model.`` prefix removed properly — the reference's
+    ``lstrip("model")`` also eats leading 'm/o/d/e/l' chars of parameter
+    names; we split on the first dot instead). Torch is used only as a
+    deserializer. (ref: utils/torch.py:12-25)"""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt)
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("model."):
+            out[k[len("model.") :]] = v.numpy()
+    return out

@@ -1,0 +1,335 @@
+"""Config-driven training orchestration.
+
+Replaces the reference's Lightning stack (ref: model_training/train/
+{trainer.py, base_lightning_model.py, fear_lightning_model.py}): epoch loop,
+per-step metric logging, best/worst-batch mosaics, true online-tracking
+validation over real sequences, plateau LR, early stopping, top-k Orbax
+checkpoints, per-epoch dataset resampling and the dynamic-frame-offset
+curriculum.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feartracker_tpu.core.geometry import bbox_iou
+from feartracker_tpu.data.dataset import ConcatDataset, get_training_datasets, read_img
+from feartracker_tpu.data.loader import BatchLoader
+from feartracker_tpu.data.sequence import get_sequence_datasets
+from feartracker_tpu.models.fear_net import FEARNet
+from feartracker_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
+from feartracker_tpu.tracker.config import TrackerConfig
+from feartracker_tpu.tracker.tracker import FEARTracker
+from feartracker_tpu.train.callbacks import BestWorstMiner, EarlyStopping
+from feartracker_tpu.train.checkpoint import CheckpointManager
+from feartracker_tpu.train.metrics import DatasetAwareSums
+from feartracker_tpu.train.optim import (
+    PlateauScheduler,
+    build_optimizer,
+    get_learning_rate,
+    set_learning_rate,
+)
+from feartracker_tpu.train.step import create_train_state, make_train_step
+from feartracker_tpu.utils import constants as C
+from feartracker_tpu.utils.logging import create_logger
+
+logger = create_logger(__name__)
+
+_DEVICE_KEYS = (
+    C.TRACKER_TARGET_TEMPLATE_IMAGE_KEY,
+    C.TRACKER_TARGET_SEARCH_IMAGE_KEY,
+    C.TARGET_CLASSIFICATION_KEY,
+    C.TARGET_REGRESSION_LABEL_KEY,
+    C.TARGET_REGRESSION_WEIGHT_KEY,
+    C.TRACKER_TARGET_BBOX_KEY,
+    C.TARGET_VISIBILITY_KEY,
+)
+
+
+class Trainer:
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        if config.get("platform"):
+            jax.config.update("jax_platforms", config["platform"])
+
+        n_dev = int(config.get("num_devices", 1))
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        sync_bn = bool(config.get("sync_bn", False)) and self.mesh is not None
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
+            str(config.get("precision", "float32")), None
+        )
+        model_cfg = config.get("model", {})
+        from feartracker_tpu.models.fbnet import TRUNKS
+
+        trunk = TRUNKS[model_cfg.get("name", "fear_xs")]
+        model_kw = dict(
+            trunk_blocks=trunk,
+            adjust_channels=int(model_cfg.get("adjust_channels", 256)),
+            towernum=int(model_cfg.get("towernum", 2)),
+        )
+        self.model = FEARNet(dtype=dtype, bn_axis_name=DATA_AXIS if sync_bn else None, **model_kw)
+        # the val tracker runs the full-precision graph
+        self.val_model = FEARNet(**model_kw)
+
+        opt_cfg = dict(config.get("optimizer", {}))
+        sched_cfg = dict(config.get("scheduler", {}))
+        opt_cfg.setdefault("warmup_steps", sched_cfg.get("warmup_steps", 0))
+        self.tx = build_optimizer(opt_cfg)
+        self.plateau = PlateauScheduler(
+            mode=sched_cfg.get("mode", config.get("metric_mode", "max")),
+            factor=float(sched_cfg.get("factor", 0.5)),
+            patience=int(sched_cfg.get("patience", 5)),
+            min_lr=float(sched_cfg.get("min_lr", 1e-6)),
+        )
+        self.early_stopping = EarlyStopping(
+            patience=int(config.get("early_stopping", 20)),
+            mode=config.get("metric_mode", "max"),
+        )
+        self.miner = BestWorstMiner()
+
+        tracker_cfg = config.get("tracker", {})
+        self.tracker_config = TrackerConfig(
+            **{k: v for k, v in tracker_cfg.items() if k in TrackerConfig._fields}
+        )
+
+        exp = config.get("experiment", {})
+        self.exp_dir = os.path.join(exp.get("folder", "experiments"), exp.get("name", "FEAR"))
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, config.get("checkpoint_dir", "checkpoints")),
+            max_to_keep=int(config.get("save_top_k", 3)),
+            metric_mode=config.get("metric_mode", "max"),
+        )
+        self._writer = None
+
+        from feartracker_tpu.core.box_coder import BoxCoderSpec
+
+        self.box_spec = BoxCoderSpec(
+            score_size=int(tracker_cfg.get("score_size", 16)),
+            total_stride=int(tracker_cfg.get("total_stride", 16)),
+            instance_size=int(tracker_cfg.get("instance_size", 256)),
+        )
+        self.train_step = make_train_step(
+            self.model,
+            self.tx,
+            coeffs=config.get("loss", {}).get("coeffs"),
+            spec=self.box_spec,
+            mesh=self.mesh,
+        )
+
+        bs = config.get("batch_size", 32)
+        self.batch_size = int(bs["train"] if isinstance(bs, dict) else bs)
+        self.train_dataset: Optional[ConcatDataset] = None
+        self.val_datasets: List[Any] = []
+        self.state = None
+
+    # -- setup -------------------------------------------------------------
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(os.path.join(self.exp_dir, "logs"))
+        return self._writer
+
+    def setup_data(self) -> None:
+        self.train_dataset = get_training_datasets(self.config, seed=self.config.get("seed", 0))
+        self.val_datasets = get_sequence_datasets(self.config.get("val", {}).get("datasets", []))
+        logger.info(
+            "train samples: %d, val datasets: %s",
+            len(self.train_dataset),
+            [f"{d.name}({len(d)})" for d in self.val_datasets],
+        )
+
+    def setup_state(self, rng_seed: int = 0) -> None:
+        t = self.config.get("tracker", {})
+        ts = int(t.get("template_size", 128))
+        ins = int(t.get("instance_size", 256))
+        self.state = create_train_state(
+            self.model,
+            self.tx,
+            jax.random.PRNGKey(rng_seed),
+            (1, ts, ts, 3),
+            (1, ins, ins, 3),
+        )
+
+    def _loader(self) -> BatchLoader:
+        return BatchLoader(
+            self.train_dataset,
+            batch_size=self.batch_size,
+            num_workers=int(self.config.get("num_workers", 2)),
+            seed=int(self.config.get("seed", 0)),
+        )
+
+    # -- epochs ------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        assert self.state is not None
+        limit = self.config.get("train_percent")
+        loader = self._loader()
+        n_batches = len(loader)
+        if limit:
+            n_batches = max(1, min(n_batches, int(limit)))
+        log_every = int(self.config.get("log_every_n_steps", 50))
+        self.miner.reset()
+        dataset_sums = DatasetAwareSums.zeros(len(self._dataset_names()))
+        name_to_id = {n: i for i, n in enumerate(self._dataset_names())}
+
+        sums: Dict[str, float] = {}
+        count = 0
+        t0 = time.time()
+        for b, batch in enumerate(loader):
+            if b >= n_batches:
+                break
+            device_batch = {k: batch[k] for k in _DEVICE_KEYS if k in batch}
+            if self.mesh is not None:
+                device_batch = shard_batch(self.mesh, device_batch)
+            self.state, out = self.train_step(self.state, device_batch)
+
+            scalars = {k: float(out[k]) for k in ("loss", "cls_loss", "reg_loss", "box_iou", "failure_rate")}
+            for k, v in scalars.items():
+                sums[k] = sums.get(k, 0.0) + v
+            count += 1
+            ids = np.asarray([name_to_id.get(n, 0) for n in batch[C.DATASET_NAME_KEY]])
+            dataset_sums = dataset_sums.update(
+                jnp.asarray(ids), out["ious"], out["visibility"]
+            )
+            self.miner.update(
+                scalars["loss"],
+                batch,
+                {C.TARGET_CLASSIFICATION_KEY: out["cls_map"], C.TARGET_REGRESSION_LABEL_KEY: out["reg_map"]},
+            )
+            step = int(self.state.step)
+            if step % log_every == 0:
+                for k, v in scalars.items():
+                    self.writer.add_scalar(f"train/{k}", v, step)
+                self.writer.add_scalar("train/lr", get_learning_rate(self.state.opt_state), step)
+                logger.info(
+                    "epoch %d step %d loss %.4f box_iou %.3f (%.2f s/it)",
+                    epoch, step, scalars["loss"], scalars["box_iou"], (time.time() - t0) / max(b + 1, 1),
+                )
+
+        epoch_means = {k: v / max(count, 1) for k, v in sums.items()}
+        for k, v in dataset_sums.compute(self._dataset_names()).items():
+            self.writer.add_scalar(f"train/metrics/{k}", v, epoch)
+        if self.miner.best_mosaic is not None:
+            self.writer.add_image("train/best_batch", self.miner.best_mosaic, epoch, dataformats="HWC")
+            self.writer.add_image("train/worst_batch", self.miner.worst_mosaic, epoch, dataformats="HWC")
+        return epoch_means
+
+    def _dataset_names(self) -> List[str]:
+        if self.train_dataset is None:
+            return ["dataset"]
+        return [d.name for d in self.train_dataset.datasets]
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        """True online tracking over val sequences
+        (ref: fear_lightning_model.py:93-125)."""
+        assert self.state is not None
+        if not self.val_datasets:
+            return {}
+        variables = {
+            "params": jax.tree.map(np.asarray, self.state.params),
+            "batch_stats": jax.tree.map(np.asarray, self.state.batch_stats),
+        }
+        if not hasattr(self, "_val_tracker"):
+            self._val_tracker = FEARTracker(self.val_model, variables, self.tracker_config)
+        else:
+            self._val_tracker.set_variables(variables)
+        tracker = self._val_tracker
+
+        max_samples = int(self.config.get("max_val_samples", 200))
+        val_percent = self.config.get("val_percent")
+        iou_threshold = 0.01
+        all_ious: List[float] = []
+        per_dataset: Dict[str, List[float]] = {}
+        per_dataset_fail: Dict[str, List[float]] = {}
+        for ds in self.val_datasets:
+            n_seq = len(ds)
+            if val_percent:
+                n_seq = max(1, min(n_seq, int(val_percent)))
+            for s in range(n_seq):
+                files, anno, name = ds[s]
+                tracker.initialize(read_img(files[0]), np.asarray(anno[0], int))
+                n = min(max_samples, len(files), len(anno))
+                ious, fails = [], []
+                for i in range(1, n):
+                    bbox = tracker.update(read_img(files[i]))["bbox"]
+                    iou = bbox_iou(np.asarray(bbox), np.asarray(anno[i], int))
+                    ious.append(iou)
+                    fails.append(float(iou < iou_threshold))
+                if ious:
+                    per_dataset.setdefault(name, []).append(float(np.mean(ious)))
+                    per_dataset_fail.setdefault(name, []).append(float(np.mean(fails)))
+                    all_ious.append(float(np.mean(ious)))
+
+        metrics: Dict[str, float] = {}
+        if all_ious:
+            metrics["box_iou"] = float(np.mean(all_ious))
+            self.writer.add_scalar("valid/metrics/box_iou", metrics["box_iou"], epoch)
+        for name, vals in per_dataset.items():
+            metrics[f"{name}_box_iou"] = float(np.mean(vals))
+            self.writer.add_scalar(f"valid/metrics/{name}_box_iou", np.mean(vals), epoch)
+            self.writer.add_scalar(
+                f"valid/metrics/{name}_failure_rate", np.mean(per_dataset_fail[name]), epoch
+            )
+        return metrics
+
+    def _update_frame_offset(self, epoch: int) -> None:
+        """Dynamic frame-offset curriculum (ref: fear_lightning_model.py:266-284)."""
+        params = self.config.get("dynamic_frame_offset")
+        if not params or self.train_dataset is None:
+            return
+        if (epoch + 1) >= params["start_epoch"] and (epoch + 1) % params["freq"] == 0:
+            for ds in self.train_dataset.datasets:
+                old = ds.item_sampler.frame_offset
+                ds.item_sampler.frame_offset = min(params["max_value"], old + params["step"])
+                logger.info("%s frame_offset %d -> %d", ds.name, old, ds.item_sampler.frame_offset)
+
+    # -- fit ---------------------------------------------------------------
+
+    def fit(self) -> None:
+        if self.train_dataset is None:
+            self.setup_data()
+        if self.state is None:
+            self.setup_state(self.config.get("seed", 0))
+
+        max_epochs = int(self.config.get("max_epochs", 150))
+        min_epochs = int(self.config.get("min_epochs", 0))
+        for epoch in range(max_epochs):
+            train_metrics = self.train_epoch(epoch)
+            val_metrics = self.validate(epoch)
+            monitor = val_metrics.get("box_iou", train_metrics.get("box_iou", 0.0))
+            logger.info("epoch %d done: train %s valid %s", epoch, train_metrics, val_metrics)
+
+            lr = get_learning_rate(self.state.opt_state)
+            new_lr = self.plateau.update(monitor, lr)
+            if new_lr != lr:
+                logger.info("plateau: lr %.2e -> %.2e", lr, new_lr)
+                self.state = self.state._replace(
+                    opt_state=set_learning_rate(self.state.opt_state, new_lr)
+                )
+            self.ckpt.save(epoch, self.state, monitor)
+
+            if self.early_stopping.update(monitor) and epoch + 1 >= min_epochs:
+                logger.info("early stopping at epoch %d (best %.4f)", epoch, self.early_stopping.best)
+                break
+            self.train_dataset.resample()
+            self._update_frame_offset(epoch)
+        if self._writer is not None:
+            self._writer.close()
+
+
+def train(config: Dict[str, Any]) -> Trainer:
+    """(ref: model_training/train.py:17-22)"""
+    trainer = Trainer(config)
+    trainer.fit()
+    return trainer

@@ -130,7 +130,14 @@ def make_train_step(
             "box_iou": metrics["box_iou"],
             "failure_rate": metrics["failure_rate"],
         }
-        return new_state, {**scalars, "ious": metrics["ious"], "visibility": metrics["visibility"]}
+        return new_state, {
+            **scalars,
+            "ious": metrics["ious"],
+            "visibility": metrics["visibility"],
+            # raw maps for the best/worst-batch mosaics (tiny: B·16·16·5)
+            "cls_map": out[TARGET_CLASSIFICATION_KEY].astype(jnp.float32),
+            "reg_map": out[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
+        }
 
     if mesh is None:
         return jax.jit(step_fn)
@@ -143,6 +150,8 @@ def make_train_step(
         "failure_rate": P(),
         "ious": P(DATA_AXIS),
         "visibility": P(DATA_AXIS),
+        "cls_map": P(DATA_AXIS),
+        "reg_map": P(DATA_AXIS),
     }
     sharded = shard_map(
         step_fn,

@@ -1,0 +1,156 @@
+"""End-to-end trainer integration: synthetic CSV train data + synthetic
+GOT-10k-style val sequences, tiny model, 2 epochs on CPU — exercising the
+full loop: steps, TB logs, online-tracking validation, plateau/early-stop
+bookkeeping, checkpointing, resample + curriculum."""
+
+import glob
+import os
+
+import cv2
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _make_track_images(root, n_tracks=2, n_frames=6, size=(160, 200)):
+    rows = []
+    rng = np.random.RandomState(0)
+    for t in range(n_tracks):
+        color = rng.randint(80, 255, 3).tolist()
+        for f in range(n_frames):
+            img = np.full((size[0], size[1], 3), 40, np.uint8)
+            x, y, w, h = 30 + 6 * f + 8 * t, 40 + 3 * f, 50, 60
+            cv2.rectangle(img, (x, y), (x + w, y + h), color, -1)
+            path = f"img_t{t}_f{f}.jpg"
+            cv2.imwrite(os.path.join(root, path), img)
+            rows.append(
+                dict(
+                    sequence_id=f"s{t}", track_id=f"t{t}", frame_index=f, img_path=path,
+                    bbox=str([x, y, w, h]), frame_shape=str(list(size[::-1])),
+                    dataset="synthetic", presence=1, near_corner=0,
+                )
+            )
+    return rows
+
+
+def _make_val_sequences(base, n_seq=1, n_frames=5):
+    os.makedirs(base, exist_ok=True)
+    rng = np.random.RandomState(1)
+    names = []
+    for s in range(n_seq):
+        seq = f"GOT-10k_Val_{s:06d}"
+        seq_dir = os.path.join(base, seq)
+        os.makedirs(seq_dir, exist_ok=True)
+        color = rng.randint(80, 255, 3).tolist()
+        gt = []
+        for f in range(n_frames):
+            img = np.full((160, 200, 3), 40, np.uint8)
+            x, y, w, h = 40 + 5 * f, 50 + 2 * f, 48, 56
+            cv2.rectangle(img, (x, y), (x + w, y + h), color, -1)
+            cv2.imwrite(os.path.join(seq_dir, f"{f:08d}.jpg"), img)
+            gt.append(f"{x},{y},{w},{h}")
+        with open(os.path.join(seq_dir, "groundtruth.txt"), "w") as fh:
+            fh.write("\n".join(gt))
+        names.append(seq)
+    with open(os.path.join(base, "list.txt"), "w") as fh:
+        fh.write("\n".join(names))
+
+
+@pytest.fixture(scope="module")
+def tiny_config(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("train_e2e"))
+    rows = _make_track_images(root)
+    csv_path = os.path.join(root, "train.csv")
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    _make_val_sequences(os.path.join(root, "got10k", "val"))
+
+    exp_dir = os.path.join(root, "exp")
+    return {
+        "platform": "",
+        "num_devices": 1,
+        "sync_bn": False,
+        "precision": "float32",
+        "seed": 0,
+        "model": {"name": "fear_tiny", "adjust_channels": 24, "towernum": 1},
+        "tracker": {
+            "score_size": 8, "total_stride": 8, "instance_size": 64, "template_size": 32,
+            "penalty_k": 0.062, "window_influence": 0.38, "lr": 0.765,
+            "template_bbox_offset": 0.2, "search_context": 2,
+        },
+        "optimizer": {"name": "adam", "lr": 1e-3},
+        "scheduler": {"mode": "max", "patience": 2, "factor": 0.5},
+        "loss": {"coeffs": {"TARGET_CLASSIFICATION_KEY": 1, "TARGET_REGRESSION_LABEL_KEY": 1}},
+        "batch_size": {"train": 4, "val": 1},
+        "num_workers": 1,
+        "max_epochs": 2,
+        "min_epochs": 1,
+        "early_stopping": 5,
+        "metric_mode": "max",
+        "max_val_samples": 5,
+        "log_every_n_steps": 1,
+        "save_top_k": 2,
+        "experiment": {"folder": exp_dir, "name": "TEST"},
+        "train": {
+            "datasets": [
+                {
+                    "name": "synthetic",
+                    "root": root,
+                    "sizes": {
+                        "search_image_size": 64, "template_image_size": 32,
+                        "search_context": 2, "template_bbox_offset": 0.2,
+                        "search_image_shift": 8, "search_image_scale": 0.2,
+                        "context_range": 1,
+                    },
+                    "regression_weight_label_size": 8,
+                    "sampling": {
+                        "type": "track", "data_path": csv_path, "negative_ratio": 0,
+                        "frame_offset": 4, "num_samples": 8, "clip_range": True,
+                    },
+                }
+            ]
+        },
+        "val": {"datasets": [{"name": "got10k", "root_dir": os.path.join(root, "got10k"), "subset": "val"}]},
+        "dynamic_frame_offset": {"start_epoch": 1, "freq": 1, "step": 1, "max_value": 10},
+    }
+
+
+def test_trainer_end_to_end(tiny_config):
+    from feartracker_tpu.train.loop import Trainer
+
+    trainer = Trainer(tiny_config)
+    trainer.fit()
+
+    # steps ran: 2 epochs x 2 batches
+    assert int(trainer.state.step) == 4
+    # validation produced a box_iou
+    assert trainer.early_stopping.best is not None
+    # checkpoints written (top-k dirs + last)
+    ckpt_dir = os.path.join(tiny_config["experiment"]["folder"], "TEST", "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+    numbered = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert len(numbered) >= 1
+    # TB event files exist
+    logs = glob.glob(os.path.join(tiny_config["experiment"]["folder"], "TEST", "logs", "events.*"))
+    assert logs
+    # curriculum bumped the frame offset (start_epoch=1, freq=1)
+    assert trainer.train_dataset.datasets[0].item_sampler.frame_offset > 4
+
+
+def test_checkpoint_restore_roundtrip(tiny_config):
+    import jax
+    import numpy as np
+
+    from feartracker_tpu.train.checkpoint import CheckpointManager
+    from feartracker_tpu.train.loop import Trainer
+
+    trainer = Trainer({**tiny_config, "experiment": {**tiny_config["experiment"], "name": "TEST2"}, "max_epochs": 1})
+    trainer.setup_data()
+    trainer.setup_state()
+    trainer.fit()
+
+    fresh = Trainer({**tiny_config, "experiment": {**tiny_config["experiment"], "name": "TEST3"}})
+    fresh.setup_state()
+    restored = trainer.ckpt.restore_last(fresh.state)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(trainer.state.step)
