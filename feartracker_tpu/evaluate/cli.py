@@ -1,0 +1,115 @@
+"""Evaluation CLI — the TPU analog of the reference's ``evaluate/`` tools.
+
+    python -m feartracker_tpu.evaluate.cli macs
+    python -m feartracker_tpu.evaluate.cli fps --streams 64 --protocol fps
+    python -m feartracker_tpu.evaluate.cli got10k --root /data/got10k --subset val
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+DEFAULT_WEIGHTS = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+
+
+def _load(weights_path: str, dtype=None):
+    import jax.numpy as jnp
+
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fear_net import FEARNet
+
+    model = FEARNet(dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
+    return model, load_fear_xs(weights_path)
+
+
+def cmd_macs(args) -> None:
+    from feartracker_tpu.evaluate.flops import track_cost
+
+    model, variables = _load(args.weights_path)
+    cost = track_cost(model, variables)
+    print(json.dumps({k: v for k, v in cost.items()}))
+
+
+def cmd_fps(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from feartracker_tpu.evaluate import fps as F
+    from feartracker_tpu.tracker.runtime import ScanTracker
+    from feartracker_tpu.utils.video import read_video
+
+    model, variables = _load(args.weights_path, dtype="bfloat16")
+    tracker = ScanTracker(model, variables, dtype=jnp.bfloat16, dynamic_template=args.dynamic_template)
+    S, T = args.streams, args.chunk
+    try:
+        video = read_video(args.video_path, max_frames=T + 1)
+    except Exception:
+        video = np.random.RandomState(0).randint(0, 255, (T + 1, 256, 480, 3), dtype=np.uint8)
+    frames0 = jnp.asarray(np.broadcast_to(video[0], (S,) + video[0].shape))
+    chunk = jnp.asarray(np.broadcast_to(video[1 : T + 1, None], (T, S) + video[0].shape))
+    bboxes = jnp.asarray(np.tile(np.array([[163, 53, 45, 174]], np.float32), (S, 1)))
+
+    state_holder = {"state": tracker.init(frames0, bboxes)}
+
+    def call():
+        state_holder["state"], outs = tracker.track(state_holder["state"], chunk)
+        return outs
+
+    def sync(outs):
+        np.asarray(outs["bbox"][-1])
+
+    if args.protocol == "fps":
+        res = F.fps_benchmark(call, sync, csv_path=args.csv)
+        res["tracked_fps"] = res["fps"] * S * T
+    elif args.protocol == "online":
+        res = F.online_benchmark(call, sync, duration_s=args.duration, input_fps=args.input_fps, csv_path=args.csv)
+    else:
+        res = F.offline_benchmark(call, sync, duration_s=args.duration, fps=args.input_fps, csv_path=args.csv)
+    print(json.dumps(res))
+
+
+def cmd_got10k(args) -> None:
+    from feartracker_tpu.data.sequence import GOT10kDataset
+    from feartracker_tpu.evaluate.got10k_eval import evaluate_tracker
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    model, variables = _load(args.weights_path)
+    tracker = FEARTracker(model, variables, TrackerConfig(smooth=args.smooth))
+    dataset = GOT10kDataset(args.root, subset=args.subset)
+    res = evaluate_tracker(tracker, dataset, max_frames=args.max_frames, verbose=True)
+    print(json.dumps({k: v for k, v in res.items() if k != "per_sequence"}))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights_path", default=DEFAULT_WEIGHTS)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("macs")
+
+    fp = sub.add_parser("fps")
+    fp.add_argument("--protocol", choices=["fps", "online", "offline"], default="fps")
+    fp.add_argument("--streams", type=int, default=64)
+    fp.add_argument("--chunk", type=int, default=32)
+    fp.add_argument("--duration", type=float, default=30.0)
+    fp.add_argument("--input_fps", type=float, default=30.0)
+    fp.add_argument("--video_path", default="/root/reference/assets/test.mp4")
+    fp.add_argument("--csv", default=None)
+    fp.add_argument("--dynamic_template", action="store_true")
+
+    gp = sub.add_parser("got10k")
+    gp.add_argument("--root", required=True)
+    gp.add_argument("--subset", default="val")
+    gp.add_argument("--max_frames", type=int, default=None)
+    gp.add_argument("--smooth", action="store_true")
+
+    args = p.parse_args()
+    {"macs": cmd_macs, "fps": cmd_fps, "got10k": cmd_got10k}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

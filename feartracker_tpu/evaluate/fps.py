@@ -1,0 +1,148 @@
+"""FPS / endurance benchmark protocols.
+
+TPU re-expression of the reference's on-device benchmark harness
+(ref: evaluate/MeasurePerformance — README.md:42-45):
+  * ``fps_benchmark``     — 20 warmup + 100 timed calls (Benchmark.swift:56-78)
+  * ``online_benchmark``  — fixed input cadence (default 30 FPS) for a
+    duration, dropped-frame accounting (OperationManager.swift:11-35)
+  * ``offline_benchmark`` — back-to-back calls for duration·fps calls
+    (OperationManager.swift:37-62)
+
+Each call's wall time + RSS memory is recorded to CSV like the Swift
+harness's telemetry (Logger.swift:17-26, Event.swift:19-31; battery/thermal
+have no TPU analog — host RSS and device memory stats are logged instead).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+
+def _rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+class Telemetry:
+    def __init__(self, csv_path: Optional[str] = None):
+        self.rows: List[Dict[str, Any]] = []
+        self.csv_path = csv_path
+
+    def record(self, call_idx: int, duration_s: float) -> None:
+        self.rows.append(
+            {
+                "call": call_idx,
+                "duration_ms": duration_s * 1e3,
+                "rss_mb": _rss_mb(),
+                "timestamp": time.time(),
+            }
+        )
+
+    def save(self) -> None:
+        if not self.csv_path or not self.rows:
+            return
+        os.makedirs(os.path.dirname(self.csv_path) or ".", exist_ok=True)
+        with open(self.csv_path, "w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=list(self.rows[0]))
+            writer.writeheader()
+            writer.writerows(self.rows)
+
+
+def fps_benchmark(
+    call: Callable[[], Any],
+    sync: Callable[[Any], None],
+    warmup: int = 20,
+    timed: int = 100,
+    csv_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """20 warmup + 100 timed calls; returns mean/percentile latencies and FPS."""
+    tele = Telemetry(csv_path)
+    for _ in range(warmup):
+        out = call()
+    sync(out)
+    durations = []
+    for i in range(timed):
+        t0 = time.time()
+        out = call()
+        sync(out)
+        dt = time.time() - t0
+        durations.append(dt)
+        tele.record(i, dt)
+    tele.save()
+    d = np.asarray(durations)
+    return {
+        "mean_ms": float(d.mean() * 1e3),
+        "p50_ms": float(np.percentile(d, 50) * 1e3),
+        "p99_ms": float(np.percentile(d, 99) * 1e3),
+        "fps": float(1.0 / d.mean()),
+    }
+
+
+def online_benchmark(
+    call: Callable[[], Any],
+    sync: Callable[[Any], None],
+    duration_s: float = 30.0,
+    input_fps: float = 30.0,
+    csv_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Fixed-cadence serving: one call scheduled every 1/input_fps; a call
+    that would start while the previous is still running counts as dropped
+    (the serial-queue semantics of OperationManager.swift:11-35)."""
+    tele = Telemetry(csv_path)
+    period = 1.0 / input_fps
+    start = time.time()
+    completed = dropped = 0
+    next_t = start
+    while time.time() - start < duration_s:
+        now = time.time()
+        if now < next_t:
+            time.sleep(next_t - now)
+        t0 = time.time()
+        out = call()
+        sync(out)
+        dt = time.time() - t0
+        tele.record(completed, dt)
+        completed += 1
+        missed = int(dt // period)
+        dropped += missed
+        next_t += period * (1 + missed)
+    tele.save()
+    return {
+        "completed": float(completed),
+        "dropped": float(dropped),
+        "drop_rate": float(dropped / max(completed + dropped, 1)),
+        "duration_s": float(time.time() - start),
+    }
+
+
+def offline_benchmark(
+    call: Callable[[], Any],
+    sync: Callable[[Any], None],
+    duration_s: float = 30.0,
+    fps: float = 30.0,
+    csv_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """duration·fps calls back-to-back (OperationManager.swift:37-62; the
+    thermal-abort has no TPU analog)."""
+    tele = Telemetry(csv_path)
+    n_calls = int(duration_s * fps)
+    t_start = time.time()
+    for i in range(n_calls):
+        t0 = time.time()
+        out = call()
+        sync(out)
+        tele.record(i, time.time() - t0)
+    tele.save()
+    total = time.time() - t_start
+    return {"calls": float(n_calls), "total_s": float(total), "achieved_fps": float(n_calls / total)}

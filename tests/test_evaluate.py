@@ -1,0 +1,77 @@
+"""Evaluation harness tests: FPS protocols, FLOPs counting, GOT-10k AO/SR."""
+
+import os
+
+import numpy as np
+import pytest
+
+from feartracker_tpu.evaluate import fps as F
+from feartracker_tpu.evaluate.got10k_eval import summarize
+
+
+def test_fps_benchmark_counts_and_csv(tmp_path):
+    calls = {"n": 0}
+
+    def call():
+        calls["n"] += 1
+        return calls["n"]
+
+    csv_path = str(tmp_path / "tele.csv")
+    res = F.fps_benchmark(call, sync=lambda x: None, warmup=3, timed=10, csv_path=csv_path)
+    assert calls["n"] == 13
+    assert res["fps"] > 0 and res["mean_ms"] >= 0
+    assert os.path.exists(csv_path)
+    assert len(open(csv_path).readlines()) == 11  # header + 10 rows
+
+
+def test_online_benchmark_drop_accounting():
+    import time
+
+    def slow_call():
+        time.sleep(0.025)
+        return 0
+
+    res = F.online_benchmark(slow_call, sync=lambda x: None, duration_s=0.5, input_fps=100)
+    # 25ms call vs 10ms period → ~2 drops per call
+    assert res["dropped"] > 0
+    assert 0 < res["drop_rate"] < 1
+
+
+def test_offline_benchmark_runs_exact_calls():
+    calls = {"n": 0}
+
+    def call():
+        calls["n"] += 1
+
+    res = F.offline_benchmark(call, sync=lambda x: None, duration_s=0.1, fps=50)
+    assert calls["n"] == 5
+    assert res["achieved_fps"] > 0
+
+
+def test_summarize_ao_sr():
+    seqs = [np.array([1.0, 0.8, 0.6]), np.array([0.4, 0.2])]
+    res = summarize(seqs, ["a", "b"])
+    assert res["ao"] == pytest.approx((0.8 + 0.3) / 2)
+    # seq a: all 3 frames > 0.5; seq b: none
+    assert res["sr50"] == pytest.approx((1.0 + 0.0) / 2)
+    assert res["sr75"] == pytest.approx((2 / 3 + 0.0) / 2)
+    assert res["num_sequences"] == 2
+
+
+def test_flops_counting_tiny_model():
+    import jax
+
+    from feartracker_tpu.evaluate.flops import count_params, track_cost
+    from feartracker_tpu.models.fbnet import TINY_TRUNK
+    from feartracker_tpu.models.fear_net import FEARNet
+
+    model = FEARNet(trunk_blocks=TINY_TRUNK, adjust_channels=16, towernum=1)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((1, 32, 32, 3), np.float32), np.zeros((1, 64, 64, 3), np.float32)),
+        train=False,
+    )
+    cost = track_cost(model, variables, search_size=64, feat_size=4, channels=16)
+    assert cost["flops"] > 0
+    assert cost["params"] == count_params(variables["params"])
+    assert cost["macs"] == cost["flops"] / 2
