@@ -1,0 +1,98 @@
+"""Deployment export: the TPU analog of the reference's CoreML conversion.
+
+The reference deploys two graphs — ``TrackerInit`` (template crop → features)
+and ``Tracker`` (search crop + features → bbox, cls) — FP16-quantized
+(ref: evaluate/coreml_convert.py:13-57, coreml_utils.py:54-58, consumed at
+VOTracker.swift:44-55). Here the same two-graph split is exported as
+serialized StableHLO via ``jax.export`` — a self-contained, weights-embedded
+artifact loadable without the model source — with an optional bfloat16
+compute variant standing in for the FP16 quantization.
+
+Image normalization is baked into both graphs (inputs are raw [0,255] RGB
+float), exactly as the CoreML export injected its scale preprocessing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feartracker_tpu.models.fear_net import FEARNet
+from feartracker_tpu.utils.constants import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    TARGET_CLASSIFICATION_KEY,
+    TARGET_REGRESSION_LABEL_KEY,
+)
+
+
+def _normalize(x: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    return (x - mean) / std
+
+
+def export_tracker(
+    model: FEARNet,
+    variables: Dict[str, Any],
+    out_dir: str,
+    template_size: int = 128,
+    instance_size: int = 256,
+    feat_size: int = 8,
+    channels: int = 256,
+    quantize: bool = True,
+) -> Dict[str, str]:
+    """Write ``tracker_init.stablehlo`` + ``tracker.stablehlo`` (and
+    ``*_quantized.stablehlo`` bf16 variants when ``quantize``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths: Dict[str, str] = {}
+
+    def make_graphs(dtype):
+        cast = (lambda t: jax.tree.map(lambda a: a.astype(dtype) if hasattr(a, "astype") and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, t))
+        use_vars = cast(variables) if dtype == jnp.bfloat16 else variables
+
+        def init_fn(image):
+            x = _normalize(image).astype(dtype)
+            return model.apply(use_vars, x, method=model.get_features).astype(jnp.float32)
+
+        def track_fn(image, feats):
+            x = _normalize(image).astype(dtype)
+            out = model.apply(use_vars, x, feats.astype(dtype), method=model.track)
+            return (
+                out[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
+                out[TARGET_CLASSIFICATION_KEY].astype(jnp.float32),
+            )
+
+        return init_fn, track_fn
+
+    template = jnp.zeros((1, template_size, template_size, 3), jnp.float32)
+    search = jnp.zeros((1, instance_size, instance_size, 3), jnp.float32)
+    feats = jnp.zeros((1, feat_size, feat_size, channels), jnp.float32)
+
+    variants = [("", jnp.float32)]
+    if quantize:
+        variants.append(("_quantized", jnp.bfloat16))
+    for suffix, dtype in variants:
+        init_fn, track_fn = make_graphs(dtype)
+        exp_init = jax.export.export(jax.jit(init_fn))(template)
+        exp_track = jax.export.export(jax.jit(track_fn))(search, feats)
+        p1 = os.path.join(out_dir, f"tracker_init{suffix}.stablehlo")
+        p2 = os.path.join(out_dir, f"tracker{suffix}.stablehlo")
+        with open(p1, "wb") as fh:
+            fh.write(exp_init.serialize())
+        with open(p2, "wb") as fh:
+            fh.write(exp_track.serialize())
+        paths[f"tracker_init{suffix}"] = p1
+        paths[f"tracker{suffix}"] = p2
+    return paths
+
+
+def load_exported(path: str):
+    """Deserialize an exported graph; returns a callable."""
+    with open(path, "rb") as fh:
+        exported = jax.export.deserialize(bytearray(fh.read()))
+    return lambda *args: exported.call(*args)
