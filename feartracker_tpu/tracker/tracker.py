@@ -39,12 +39,30 @@ def _normalize(img: jnp.ndarray) -> jnp.ndarray:
 
 
 class FEARTracker:
-    """Single-stream online tracker with the reference's public API."""
+    """Single-stream online tracker with the reference's public API.
 
-    def __init__(self, model: FEARNet, variables: Dict[str, Any], config: TrackerConfig = TrackerConfig()):
+    ``native_preprocess=True`` routes the per-frame crop through the fused
+    C++ engine (feartracker_tpu/native) instead of the cv2 chain — one pass,
+    no intermediate padded image, normalization included (numerically matches
+    the device crop op; the cv2 path matches the reference bit-for-bit).
+    """
+
+    def __init__(
+        self,
+        model: FEARNet,
+        variables: Dict[str, Any],
+        config: TrackerConfig = TrackerConfig(),
+        native_preprocess: bool = False,
+    ):
         self.model = model
         self.variables = variables
         self.config = config
+        if native_preprocess:
+            from feartracker_tpu import native
+
+            if not native.available():
+                raise RuntimeError("native crop engine unavailable (no C++ toolchain?)")
+        self.native_preprocess = native_preprocess
         self._template_features: Optional[jnp.ndarray] = None
         self.bbox: Optional[np.ndarray] = None
         self.mean_color: Optional[np.ndarray] = None
@@ -71,17 +89,52 @@ class FEARTracker:
             )
             return res.bbox[0], res.confidence[0]
 
+        # pre-normalized variants for the native C++ preprocessing path
+        @jax.jit
+        def _features_pre(variables, crop_norm: jnp.ndarray) -> jnp.ndarray:
+            return self.model.apply(variables, crop_norm[None], method=self.model.get_features)
+
+        @jax.jit
+        def _step_pre(variables, crop_norm: jnp.ndarray, feats: jnp.ndarray, prev_size: jnp.ndarray):
+            out = self.model.apply(variables, crop_norm[None], feats, method=self.model.track)
+            res = pp.postprocess(
+                out[TARGET_CLASSIFICATION_KEY],
+                out[TARGET_REGRESSION_LABEL_KEY],
+                self.config.postprocess,
+                prev_size=prev_size[None],
+            )
+            return res.bbox[0], res.confidence[0]
+
         self._features_fn = partial(_features, self.variables)
         self._step_fn = partial(_step, self.variables)
+        self._features_pre_fn = partial(_features_pre, self.variables)
+        self._step_pre_fn = partial(_step_pre, self.variables)
         self._features_raw = _features
         self._step_raw = _step
+        self._features_pre_raw = _features_pre
+        self._step_pre_raw = _step_pre
 
     def set_variables(self, variables: Dict[str, Any]) -> None:
         """Swap model weights (no recompile); resets the cached template."""
         self.variables = variables
         self._features_fn = partial(self._features_raw, variables)
         self._step_fn = partial(self._step_raw, variables)
+        self._features_pre_fn = partial(self._features_pre_raw, variables)
+        self._step_pre_fn = partial(self._step_pre_raw, variables)
         self.reset()
+
+    def _native_crop(self, image: np.ndarray, bbox: np.ndarray, offset: float, out_size: int, pad_color):
+        """Fused C++ crop+normalize; returns (normalized crop, window)."""
+        from feartracker_tpu import native
+        from feartracker_tpu.core.geometry import extend_bbox
+
+        window = extend_bbox(np.asarray(bbox), offset).astype(np.float32)
+        mean = np.asarray(IMAGENET_MEAN, np.float32) * 255.0
+        std = np.asarray(IMAGENET_STD, np.float32) * 255.0
+        crop = native.crop_resize_normalize(
+            image, window, out_size, np.asarray(pad_color, np.float32), mean, std
+        )
+        return crop, window.astype(np.int64)
 
     def reset(self) -> None:
         self._template_features = None
@@ -92,30 +145,56 @@ class FEARTracker:
         self.bbox = rect
         self.paths = deque([rect], maxlen=10)
         self.mean_color = np.mean(image, axis=(0, 1))
-        template_crop, _, _ = get_extended_crop(
-            image=image,
-            bbox=rect,
-            offset=self.config.template_bbox_offset,
-            crop_size=self.config.template_size,
-        )
-        self._template_features = self._features_fn(jnp.asarray(template_crop))
+        if self.native_preprocess:
+            crop_norm, _ = self._native_crop(
+                image, rect, self.config.template_bbox_offset,
+                self.config.template_size, self.mean_color,
+            )
+            self._template_features = self._features_pre_fn(jnp.asarray(crop_norm))
+        else:
+            template_crop, _, _ = get_extended_crop(
+                image=image,
+                bbox=rect,
+                offset=self.config.template_bbox_offset,
+                crop_size=self.config.template_size,
+            )
+            self._template_features = self._features_fn(jnp.asarray(template_crop))
 
     def update(self, image: np.ndarray) -> Dict[str, Any]:
         """(ref: fear_tracker.py:46-67)"""
         assert self._template_features is not None, "call initialize() first"
-        search_crop, search_bbox, window = get_extended_crop(
-            image=image,
-            bbox=self.bbox,
-            crop_size=self.config.instance_size,
-            offset=self.config.search_context,
-            padding_value=self.mean_color,
-        )
-        self.prev_size = search_bbox[2:]
-        crop_bbox, confidence = self._step_fn(
-            jnp.asarray(search_crop),
-            self._template_features,
-            jnp.asarray(self.prev_size, jnp.float32),
-        )
+        if self.native_preprocess:
+            crop_norm, window = self._native_crop(
+                image, self.bbox, self.config.search_context,
+                self.config.instance_size, self.mean_color,
+            )
+            from feartracker_tpu.core.geometry import ensure_bbox_boundaries
+
+            padded_bbox = ensure_bbox_boundaries(
+                np.array([self.bbox[0] - window[0], self.bbox[1] - window[1], self.bbox[2], self.bbox[3]]),
+                img_shape=(int(window[3]), int(window[2])),
+            )
+            scale = self.config.instance_size / window[2:4].astype(np.float64)
+            self.prev_size = padded_bbox[2:] * scale
+            crop_bbox, confidence = self._step_pre_fn(
+                jnp.asarray(crop_norm),
+                self._template_features,
+                jnp.asarray(self.prev_size, jnp.float32),
+            )
+        else:
+            search_crop, search_bbox, window = get_extended_crop(
+                image=image,
+                bbox=self.bbox,
+                crop_size=self.config.instance_size,
+                offset=self.config.search_context,
+                padding_value=self.mean_color,
+            )
+            self.prev_size = search_bbox[2:]
+            crop_bbox, confidence = self._step_fn(
+                jnp.asarray(search_crop),
+                self._template_features,
+                jnp.asarray(self.prev_size, jnp.float32),
+            )
         pred = rescale_crop_bbox(np.asarray(crop_bbox), window, self.config.instance_size)
         pred = clamp_bbox(pred, image.shape)
         self.bbox = pred
