@@ -23,7 +23,7 @@ import numpy as np
 
 WARMUP_CALLS = 20
 TIMED_CALLS = 100
-STREAMS = 64
+STREAMS = 128
 CHUNK = 32
 BASELINE_FPS = 1000.0
 
@@ -74,7 +74,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "FEAR-XS tracked FPS/chip (64 streams, on-device scan)",
+                "metric": "FEAR-XS tracked FPS/chip (128 streams, on-device scan)",
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -30,6 +30,7 @@ from feartracker_tpu.models.fear_net import FEARNet
 from feartracker_tpu.ops.crop import (
     crop_bbox_in_window,
     crop_resize,
+    crop_resize_mm,
     extended_crop_window,
     normalize_imagenet,
 )
@@ -69,7 +70,11 @@ class ScanTracker:
         update_threshold: float = 0.85,
         update_rate: float = 0.1,
         dtype: jnp.dtype = jnp.float32,
+        crop_impl: str = "mm",
     ):
+        # "mm" = separable-matmul crop (MXU, fast); "gather" = index-based
+        # (bit-identical reference semantics; both match to float rounding)
+        self.crop_impl = crop_impl
         self.model = model
         self.variables = variables
         self.config = config
@@ -87,13 +92,20 @@ class ScanTracker:
 
     # -- building blocks ---------------------------------------------------
 
+    def _crop(self, frames, windows, out_size, mean_color):
+        if self.crop_impl == "mm":
+            return jax.vmap(crop_resize_mm, (0, 0, None, 0))(
+                frames.astype(jnp.float32), windows, out_size, mean_color
+            )
+        return jax.vmap(crop_resize, (0, 0, None, 0))(
+            frames.astype(jnp.float32), windows, out_size, mean_color
+        )
+
     def _template_features(self, variables, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color: jnp.ndarray) -> jnp.ndarray:
         """Template crop (offset 0.2 → 128²) + encode (ref: fear_tracker.py:36-44)."""
         cfg = self.config
         windows = jax.vmap(extended_crop_window, (0, None))(bboxes, cfg.template_bbox_offset)
-        crops = jax.vmap(crop_resize, (0, 0, None, 0))(
-            frames.astype(jnp.float32), windows, cfg.template_size, mean_color
-        )
+        crops = self._crop(frames, windows, cfg.template_size, mean_color)
         x = normalize_imagenet(crops).astype(self.dtype)
         return self.model.apply(variables, x, method=self.model.get_features)
 
@@ -116,7 +128,7 @@ class ScanTracker:
         framesf = frames.astype(jnp.float32)
 
         windows = jax.vmap(extended_crop_window, (0, None))(state.bbox, cfg.search_context)
-        crops = jax.vmap(crop_resize, (0, 0, None, 0))(framesf, windows, cfg.instance_size, state.mean_color)
+        crops = self._crop(framesf, windows, cfg.instance_size, state.mean_color)
         x = normalize_imagenet(crops).astype(self.dtype)
 
         update = state.dyn_feats if self.dynamic_template else None
