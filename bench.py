@@ -53,7 +53,7 @@ def main() -> None:
 
     model = FEARNet(dtype=jnp.bfloat16)
     variables = load_fear_xs(TRACKER_ML)
-    tracker = ScanTracker(model, variables, dtype=jnp.bfloat16)
+    tracker = ScanTracker(model, variables, dtype=jnp.bfloat16, postprocess_impl="pallas")
 
     bboxes = jnp.asarray(np.tile(np.array([[163, 53, 45, 174]], np.float32), (STREAMS, 1)))
     state = tracker.init(frames0, bboxes)

@@ -130,6 +130,64 @@ def crop_context_window(bbox: BBox, context: float) -> Tuple[np.ndarray, int]:
     return ctx, int(ctx[2])
 
 
+def bbox_from_cxy_wh(position: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Center+size → xywh with the reference's x/y floor at 0
+    (ref: utils/utils.py:97-105)."""
+    return np.array(
+        [
+            max(0.0, position[0] - size[0] / 2),
+            max(0.0, position[1] - size[1] / 2),
+            float(size[0]),
+            float(size[1]),
+        ]
+    )
+
+
+def position_from_bbox(bbox: BBox) -> np.ndarray:
+    """xywh → center point (ref: utils/utils.py:108-111)."""
+    x, y, w, h = bbox
+    return np.array([x + w / 2, y + h / 2])
+
+
+def get_side_with_context(bbox: BBox, context_amount: float) -> float:
+    """SiamFC context side: sqrt((w+p)(h+p)), p = c·(w+h)
+    (ref: utils/utils.py:277-289)."""
+    w, h = bbox[2], bbox[3]
+    wc = w + context_amount * (w + h)
+    hc = h + context_amount * (w + h)
+    return max(round(np.sqrt(wc * hc)), 1)
+
+
+def get_points(bbox: BBox) -> np.ndarray:
+    """bbox corners as cv2.transform-ready points (ref: utils/utils.py:351-368)."""
+    return (
+        np.array(
+            [
+                [bbox[0], bbox[1]],
+                [bbox[0], bbox[1] + bbox[3]],
+                [bbox[0] + bbox[2], bbox[1] + bbox[3]],
+                [bbox[0] + bbox[2], bbox[1]],
+            ]
+        )
+        .reshape((-1, 1, 2))
+        .astype("float64")
+    )
+
+
+def transform_bbox(bbox: BBox, mapping: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Apply (or invert) a 2×3 affine mapping to a bbox
+    (ref: utils/utils.py:333-348)."""
+    import cv2
+
+    if inverse:
+        full = np.concatenate([mapping, np.array([[0.0, 0.0, 1.0]])], axis=0)
+        mapping = np.linalg.pinv(full)[:2]
+    pts = cv2.transform(get_points(bbox), mapping)
+    x, y = pts[0, 0]
+    w, h = pts[2, 0] - pts[0, 0]
+    return np.array([x, y, w, h]).astype("int")
+
+
 def rescale_crop_bbox(bbox: np.ndarray, padded_box: np.ndarray, instance_size: int, min_side: int = 3) -> list:
     """Map a bbox predicted inside a search crop back to frame coordinates
     (ref: base_tracker.py:83-90 ``_rescale_bbox``).

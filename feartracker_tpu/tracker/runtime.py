@@ -71,10 +71,13 @@ class ScanTracker:
         update_rate: float = 0.1,
         dtype: jnp.dtype = jnp.float32,
         crop_impl: str = "mm",
+        postprocess_impl: str = "xla",
     ):
         # "mm" = separable-matmul crop (MXU, fast); "gather" = index-based
         # (bit-identical reference semantics; both match to float rounding)
         self.crop_impl = crop_impl
+        # "pallas" = fused single-kernel decode (TPU only); "xla" = portable
+        self.postprocess_impl = postprocess_impl
         self.model = model
         self.variables = variables
         self.config = config
@@ -135,12 +138,22 @@ class ScanTracker:
         out = self.model.apply(variables, x, state.template_feats, update, method=self.model.track)
 
         prev_size = jax.vmap(crop_bbox_in_window, (0, 0, None))(state.bbox, windows, cfg.instance_size)[:, 2:]
-        res = pp.postprocess(
-            out[TARGET_CLASSIFICATION_KEY].astype(jnp.float32),
-            out[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
-            cfg.postprocess,
-            prev_size=prev_size,
-        )
+        if self.postprocess_impl == "pallas":
+            from feartracker_tpu.ops.pallas.decode import postprocess_pallas
+
+            res = postprocess_pallas(
+                out[TARGET_CLASSIFICATION_KEY].astype(jnp.float32),
+                out[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
+                cfg.postprocess,
+                prev_size=prev_size,
+            )
+        else:
+            res = pp.postprocess(
+                out[TARGET_CLASSIFICATION_KEY].astype(jnp.float32),
+                out[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
+                cfg.postprocess,
+                prev_size=prev_size,
+            )
         bbox = rescale_crop_bbox(res.bbox, windows, cfg.instance_size)
         bbox = clamp_bbox(bbox, (H, W))
 
