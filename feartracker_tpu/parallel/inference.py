@@ -1,0 +1,54 @@
+"""Multi-chip stream-parallel tracking.
+
+Streams are embarrassingly parallel (per-stream state, no cross-stream
+math), so scaling the scan runtime across a pod slice is pure data
+parallelism over the stream axis: inputs and carried state are sharded over
+the ``data`` mesh axis with ``NamedSharding`` and XLA partitions the whole
+scan with zero collectives — ICI is only touched if a host feeds frames for
+streams resident on another chip. This is the "sequence scaling" story of
+the TPU build (SURVEY.md §5: batch many independent videos per chip, then
+many chips).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from feartracker_tpu.parallel.mesh import DATA_AXIS
+from feartracker_tpu.tracker.runtime import ScanTracker, StreamState
+
+
+class ShardedScanTracker(ScanTracker):
+    """ScanTracker whose stream axis is sharded over a device mesh.
+
+    Stream count must be divisible by the mesh size. Weights are replicated;
+    state and frames are sharded on their leading (stream) axis — for frame
+    tensors (T, S, H, W, 3) the shard axis is axis 1.
+    """
+
+    def __init__(self, *args, mesh: Mesh, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mesh = mesh
+        self._stream_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        self._chunk_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+        self._replicated = NamedSharding(mesh, P())
+        self.variables = jax.device_put(self.variables, self._replicated)
+
+    def _shard_state(self, state: StreamState) -> StreamState:
+        return jax.tree.map(lambda x: jax.device_put(x, self._stream_sharding), state)
+
+    def init(self, frames, bboxes) -> StreamState:
+        frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)
+        bboxes = jax.device_put(jax.numpy.asarray(bboxes), self._stream_sharding)
+        return self._init_jit(self.variables, frames, bboxes)
+
+    def step(self, state: StreamState, frames):
+        frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)
+        return self._step_jit(self.variables, state, frames)
+
+    def track(self, state: StreamState, frames):
+        frames = jax.device_put(jax.numpy.asarray(frames), self._chunk_sharding)
+        return self._track_jit(self.variables, state, frames)
