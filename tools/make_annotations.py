@@ -1,0 +1,125 @@
+"""Generate training CSV annotations from standard dataset layouts.
+
+The reference requires users to hand-build per-dataset CSVs with the schema
+sequence_id, track_id, frame_index, img_path, bbox, frame_shape, dataset,
+presence, near_corner (ref: README.md:82-93) but ships no tooling. This
+tool walks GOT-10k / LaSOT style directory trees and writes that CSV.
+
+    python tools/make_annotations.py got10k --root /data/got10k --subset train \
+        --out /data/got10k/train.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from feartracker_tpu.data.sequence import _read_gt  # noqa: E402
+
+
+def _near_corner(bbox, shape_wh, margin: int = 2) -> int:
+    x, y, w, h = bbox
+    W, H = shape_wh
+    return int(x <= margin or y <= margin or x + w >= W - margin or y + h >= H - margin)
+
+
+def _frame_shape(img_path: str):
+    import cv2
+
+    img = cv2.imread(img_path)
+    return (img.shape[1], img.shape[0]) if img is not None else (0, 0)
+
+
+def rows_for_sequence(seq_id, track_id, files, anno, dataset, root, absence=None):
+    if not files:
+        return []
+    shape_wh = _frame_shape(files[0])
+    out = []
+    n = min(len(files), len(anno))
+    for i in range(n):
+        bbox = [int(round(v)) for v in anno[i][:4]]
+        presence = 1
+        if absence is not None and i < len(absence):
+            presence = int(absence[i] == 0)
+        if bbox[2] <= 0 or bbox[3] <= 0:
+            presence = 0
+        out.append(
+            dict(
+                sequence_id=seq_id,
+                track_id=track_id,
+                frame_index=i,
+                img_path=os.path.relpath(files[i], root),
+                bbox=str(bbox),
+                frame_shape=str(list(shape_wh)),
+                dataset=dataset,
+                presence=presence,
+                near_corner=_near_corner(bbox, shape_wh),
+            )
+        )
+    return out
+
+
+def make_got10k(root: str, subset: str) -> pd.DataFrame:
+    base = os.path.join(root, subset)
+    list_file = os.path.join(base, "list.txt")
+    seqs = (
+        [l.strip() for l in open(list_file) if l.strip()]
+        if os.path.exists(list_file)
+        else sorted(os.path.basename(d) for d in glob.glob(os.path.join(base, "*")) if os.path.isdir(d))
+    )
+    rows = []
+    for seq in seqs:
+        seq_dir = os.path.join(base, seq)
+        gt = os.path.join(seq_dir, "groundtruth.txt")
+        if not os.path.exists(gt):
+            continue
+        files = sorted(glob.glob(os.path.join(seq_dir, "*.jpg")))
+        absence_file = os.path.join(seq_dir, "absence.label")
+        absence = None
+        if os.path.exists(absence_file):
+            absence = np.loadtxt(absence_file, dtype=int)  # 1 = absent
+        rows += rows_for_sequence(seq, seq, files, _read_gt(gt), "got10k", root, absence)
+    return pd.DataFrame(rows)
+
+
+def make_lasot(root: str, subset: str = "") -> pd.DataFrame:
+    rows = []
+    for gt in sorted(glob.glob(os.path.join(root, "*", "*", "groundtruth.txt"))):
+        seq_dir = os.path.dirname(gt)
+        seq = os.path.basename(seq_dir)
+        files = sorted(glob.glob(os.path.join(seq_dir, "img", "*.jpg")))
+        absence = None
+        occ = os.path.join(seq_dir, "full_occlusion.txt")
+        oov = os.path.join(seq_dir, "out_of_view.txt")
+        if os.path.exists(occ) and os.path.exists(oov):
+            a = _read_gt(occ).ravel().astype(int)
+            b = _read_gt(oov).ravel().astype(int)
+            absence = np.clip(a + b, 0, 1)  # 1 = occluded or out of view
+        rows += rows_for_sequence(seq, seq, files, _read_gt(gt), "lasot", root, absence)
+    return pd.DataFrame(rows)
+
+
+BUILDERS = {"got10k": make_got10k, "lasot": make_lasot}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("dataset", choices=sorted(BUILDERS))
+    p.add_argument("--root", required=True)
+    p.add_argument("--subset", default="train")
+    p.add_argument("--out", required=True)
+    args = p.parse_args()
+    df = BUILDERS[args.dataset](args.root, args.subset)
+    df.to_csv(args.out, index=False)
+    print(f"wrote {len(df)} rows ({df['track_id'].nunique()} tracks) to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
