@@ -51,6 +51,18 @@ def encode(bboxes: jnp.ndarray, spec: BoxCoderSpec = BoxCoderSpec()) -> EncodeRe
     return EncodeResult(regression_map=reg, classification_label=cls)
 
 
+def get_box_coder(tracker_config: dict, tracker_name: str = "fear"):
+    """API-parity registry (ref: box_coder.py:110-119 — the reference's
+    default 'ocean' name returns None there too)."""
+    if tracker_name == "fear":
+        return BoxCoderSpec(
+            score_size=int(tracker_config.get("score_size", 16)),
+            total_stride=int(tracker_config.get("total_stride", 16)),
+            instance_size=int(tracker_config.get("instance_size", 256)),
+        )
+    return None
+
+
 def pred_locations(regression_map: jnp.ndarray, spec: BoxCoderSpec = BoxCoderSpec()) -> jnp.ndarray:
     """LTRB offset map (B,H,W,4) → xyxy corner map (B,H,W,4)
     (ref: box_coder.py:91-99)."""
