@@ -1,0 +1,115 @@
+"""Batched multi-stream dataset evaluation on the scan runtime.
+
+BASELINE.json config 4: "Batched multi-stream tracking: 64 videos/chip,
+GOT-10k test eval (AO/SR)". Sequences are letterboxed to one canonical frame
+size, grouped S at a time, and tracked together through the on-device
+``lax.scan`` runtime — the TPU replaces the reference's one-video-at-a-time
+Python loop with chip-wide stream batching. Host threads decode JPEGs and
+fill fixed-shape chunks; predictions are mapped back to original coordinates
+before scoring.
+
+Letterboxing note: scoring happens in original frame coordinates, but the
+tracker sees (canonical-resolution) letterboxed frames — sequences larger
+than the canvas are evaluated at reduced resolution (AO typically within a
+point of the sequential full-resolution path).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from feartracker_tpu.data.dataset import read_img
+from feartracker_tpu.evaluate.got10k_eval import summarize
+from feartracker_tpu.tracker.runtime import ScanTracker
+
+
+def letterbox(frame: np.ndarray, hw: Tuple[int, int]) -> Tuple[np.ndarray, float]:
+    """Scale-preserving resize into an (H, W) canvas (top-left anchored).
+    Returns (canvas, scale)."""
+    H, W = hw
+    h, w = frame.shape[:2]
+    scale = min(H / h, W / w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    resized = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    canvas = np.zeros((H, W, 3), frame.dtype)
+    canvas[:nh, :nw] = resized
+    return canvas, scale
+
+
+def batched_evaluate(
+    tracker: ScanTracker,
+    dataset,
+    streams: int = 16,
+    frame_hw: Tuple[int, int] = (360, 640),
+    chunk: int = 16,
+    max_frames: Optional[int] = None,
+    decode_workers: int = 4,
+    verbose: bool = False,
+) -> Dict[str, Any]:
+    """Evaluate ``dataset`` (a SequenceDataset) S sequences at a time."""
+    pool = ThreadPoolExecutor(decode_workers)
+    seq_overlaps: List[np.ndarray] = []
+    seq_names: List[str] = []
+
+    n_seq = len(dataset)
+    for g0 in range(0, n_seq, streams):
+        idxs = list(range(g0, min(g0 + streams, n_seq)))
+        S = len(idxs)
+        seqs = [dataset[i] for i in idxs]  # (files, anno, name)
+        lengths = [
+            min(len(f), len(a), max_frames or 10**9) for f, a, _ in seqs
+        ]
+        max_len = max(lengths)
+
+        def load(i_and_t):
+            i, t = i_and_t
+            files = seqs[i][0]
+            t_eff = min(t, lengths[i] - 1)  # freeze on last frame after end
+            return letterbox(read_img(files[t_eff]), frame_hw)
+
+        # init
+        first = list(pool.map(load, [(i, 0) for i in range(S)]))
+        frames0 = np.stack([f for f, _ in first])
+        scales = np.array([s for _, s in first])
+        bb0 = np.stack([np.asarray(seqs[i][1][0], np.float64) * scales[i] for i in range(S)]).astype(np.float32)
+        state = tracker.init(frames0, bb0)
+
+        preds = [[np.asarray(seqs[i][1][0], np.float64)] for i in range(S)]
+        t = 1
+        while t < max_len:
+            n = min(chunk, max_len - t)
+            flat = list(pool.map(load, [(i, t + k) for k in range(n) for i in range(S)]))
+            frames = np.stack([f for f, _ in flat]).reshape(n, S, *frame_hw, 3)
+            state, out = tracker.track(state, frames)
+            bboxes = np.asarray(out["bbox"])  # (n, S, 4)
+            for k in range(n):
+                for i in range(S):
+                    if t + k < lengths[i]:
+                        preds[i].append(bboxes[k, i].astype(np.float64) / scales[i])
+            t += n
+
+        for i in range(S):
+            anno = np.asarray(seqs[i][1][: lengths[i]], np.float64)
+            p = np.stack(preds[i])
+            ov = _overlap(p[1:], anno[1:])
+            seq_overlaps.append(ov)
+            seq_names.append(dataset.sequence_name(idxs[i]))
+            if verbose:
+                print(f"  {seq_names[-1]}: AO={ov.mean():.3f} ({len(ov)} frames)")
+
+    pool.shutdown()
+    return summarize(seq_overlaps, seq_names)
+
+
+def _overlap(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    x1 = np.maximum(pred[:, 0], gt[:, 0])
+    y1 = np.maximum(pred[:, 1], gt[:, 1])
+    x2 = np.minimum(pred[:, 0] + pred[:, 2], gt[:, 0] + gt[:, 2])
+    y2 = np.minimum(pred[:, 1] + pred[:, 3], gt[:, 1] + gt[:, 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    union = pred[:, 2] * pred[:, 3] + gt[:, 2] * gt[:, 3] - inter
+    return inter / np.maximum(union, 1e-9)

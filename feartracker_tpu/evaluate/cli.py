@@ -73,14 +73,28 @@ def cmd_fps(args) -> None:
 
 def cmd_got10k(args) -> None:
     from feartracker_tpu.data.sequence import GOT10kDataset
-    from feartracker_tpu.evaluate.got10k_eval import evaluate_tracker
     from feartracker_tpu.tracker.config import TrackerConfig
-    from feartracker_tpu.tracker.tracker import FEARTracker
 
-    model, variables = _load(args.weights_path)
-    tracker = FEARTracker(model, variables, TrackerConfig(smooth=args.smooth))
     dataset = GOT10kDataset(args.root, subset=args.subset)
-    res = evaluate_tracker(tracker, dataset, max_frames=args.max_frames, verbose=True)
+    cfg = TrackerConfig(smooth=args.smooth)
+    if args.batched:
+        import jax.numpy as jnp
+
+        from feartracker_tpu.evaluate.batched_eval import batched_evaluate
+        from feartracker_tpu.tracker.runtime import ScanTracker
+
+        model, variables = _load(args.weights_path, dtype="bfloat16")
+        tracker = ScanTracker(model, variables, cfg, dtype=jnp.bfloat16)
+        res = batched_evaluate(
+            tracker, dataset, streams=args.streams, max_frames=args.max_frames, verbose=True
+        )
+    else:
+        from feartracker_tpu.evaluate.got10k_eval import evaluate_tracker
+        from feartracker_tpu.tracker.tracker import FEARTracker
+
+        model, variables = _load(args.weights_path)
+        tracker = FEARTracker(model, variables, cfg)
+        res = evaluate_tracker(tracker, dataset, max_frames=args.max_frames, verbose=True)
     print(json.dumps({k: v for k, v in res.items() if k != "per_sequence"}))
 
 
@@ -106,6 +120,8 @@ def main() -> None:
     gp.add_argument("--subset", default="val")
     gp.add_argument("--max_frames", type=int, default=None)
     gp.add_argument("--smooth", action="store_true")
+    gp.add_argument("--batched", action="store_true", help="multi-stream scan runtime")
+    gp.add_argument("--streams", type=int, default=64)
 
     args = p.parse_args()
     {"macs": cmd_macs, "fps": cmd_fps, "got10k": cmd_got10k}[args.cmd](args)
