@@ -302,6 +302,17 @@ class Trainer:
         if self.state is None:
             self.setup_state(self.config.get("seed", 0))
 
+        # sanity val: run a few real tracking sequences before training, so
+        # a broken val path fails in seconds not hours
+        # (ref: trainer.py:64 num_sanity_val_steps=5)
+        sanity = int(self.config.get("sanity_steps", 5))
+        if sanity > 0 and self.val_datasets:
+            saved = self.config.get("val_percent")
+            self.config["val_percent"] = sanity
+            logger.info("sanity check: %d val sequences", sanity)
+            self.validate(epoch=-1)
+            self.config["val_percent"] = saved
+
         max_epochs = int(self.config.get("max_epochs", 150))
         min_epochs = int(self.config.get("min_epochs", 0))
         for epoch in range(max_epochs):
