@@ -30,10 +30,7 @@ from feartracker_tpu.utils.constants import (
 )
 
 
-def _normalize(x: jnp.ndarray) -> jnp.ndarray:
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-    return (x - mean) / std
+from feartracker_tpu.ops.crop import normalize_imagenet as _normalize
 
 
 def export_tracker(

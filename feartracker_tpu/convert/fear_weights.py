@@ -175,6 +175,6 @@ def imagenet_preprocess(image_u8: np.ndarray) -> np.ndarray:
     """uint8 RGB HWC [0,255] → normalized float32, identical to the
     reference's albumentations Normalize (base_tracker.py:69-81) and to the
     CoreML ImageScaler + scale_layer pair (coreml_utils.py:61-135)."""
-    mean = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
-    std = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
-    return (image_u8.astype(np.float32) - mean) / std
+    from feartracker_tpu.utils.image import normalize_imagenet_np
+
+    return normalize_imagenet_np(image_u8)

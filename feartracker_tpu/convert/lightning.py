@@ -32,6 +32,13 @@ class _Stream:
         self.items = items
         self.i = 0
 
+    def assert_consumed(self, what: str) -> None:
+        if self.i != len(self.items):
+            raise ValueError(
+                f"{what}: {len(self.items) - self.i} unconsumed tensors starting at "
+                f"{self.peek_name()!r} — architecture mismatch (wrong towernum/channels?)"
+            )
+
     def peek_name(self) -> str:
         return self.items[self.i][0] if self.i < len(self.items) else "<end>"
 
@@ -108,6 +115,7 @@ def lightning_to_variables(state_dict: Dict[str, np.ndarray], channels: int = 25
     # --- neck ---
     s = _Stream(neck_items)
     np_, ns = _conv_bn(s, channels, 1)
+    s.assert_consumed("neck")
     neck_p, neck_s = {"downsample": np_}, {"downsample": ns}
 
     # --- head: use reference name prefixes to slice per block ---
@@ -117,10 +125,14 @@ def lightning_to_variables(state_dict: Dict[str, np.ndarray], channels: int = 25
     head_p: Dict[str, dict] = {}
     head_s: Dict[str, dict] = {}
     for name in ("cls_encode", "reg_encode"):
-        head_p[name], head_s[name] = _sep_bn(sub(f"connect_model.{name}."), channels, channels, use_bias=False)
+        st = sub(f"connect_model.{name}.")
+        head_p[name], head_s[name] = _sep_bn(st, channels, channels, use_bias=False)
+        st.assert_consumed(name)
     for name, flax_name in (("cls_dw", "cls_dw"), ("reg_dw", "reg_dw")):
-        p, st = _sep_bn(sub(f"connect_model.{name}."), channels + 64, channels, use_bias=True)
-        head_p[flax_name], head_s[flax_name] = {"enc": p}, {"enc": st}
+        st = sub(f"connect_model.{name}.")
+        p, stt = _sep_bn(st, channels + 64, channels, use_bias=True)
+        st.assert_consumed(name)
+        head_p[flax_name], head_s[flax_name] = {"enc": p}, {"enc": stt}
 
     for tower, flax_prefix in (("bbox_tower", "bbox_tower"), ("cls_tower", "cls_tower")):
         st = sub(f"connect_model.{tower}.")
@@ -128,11 +140,13 @@ def lightning_to_variables(state_dict: Dict[str, np.ndarray], channels: int = 25
             head_p[f"{flax_prefix}{i}"], head_s[f"{flax_prefix}{i}"] = _sep_bn(
                 st, channels, channels, use_bias=True
             )
+        st.assert_consumed(f"{tower} (towernum={towernum})")
 
     for pred, out_ch in (("bbox_pred", 4), ("cls_pred", 1)):
         st = sub(f"connect_model.{pred}.")
         dw = st.take_conv(channels, 3, bias=True)
         pw = st.take_conv(out_ch, 1, bias=True)
+        st.assert_consumed(pred)
         head_p[pred] = {"dw": dw, "pw": pw}
 
     head_p["adjust"] = np.asarray(state_dict["connect_model.adjust"], np.float32).reshape(1)

@@ -103,6 +103,19 @@ def python2round(x: float) -> float:
     return round(x)
 
 
+def overlap_xywh_np(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Vectorized elementwise IoU of (N, 4) xywh arrays, standard convention
+    (no +1) — the numpy twin of geometry_jax.box_iou_xywh, shared by the
+    evaluation harnesses."""
+    x1 = np.maximum(pred[..., 0], gt[..., 0])
+    y1 = np.maximum(pred[..., 1], gt[..., 1])
+    x2 = np.minimum(pred[..., 0] + pred[..., 2], gt[..., 0] + gt[..., 2])
+    y2 = np.minimum(pred[..., 1] + pred[..., 3], gt[..., 1] + gt[..., 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    union = pred[..., 2] * pred[..., 3] + gt[..., 2] * gt[..., 3] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
 def bbox_to_center(bbox: BBox) -> np.ndarray:
     """xywh → xc,yc,w,h, truncated to int (ref: dataset/utils.py:113-120)."""
     return np.array([bbox[0] + bbox[2] / 2, bbox[1] + bbox[3] / 2, bbox[2], bbox[3]]).astype("int")

@@ -29,6 +29,7 @@ from feartracker_tpu.data.crops import get_extended_crop
 from feartracker_tpu.data.labels import get_regression_weight_label
 from feartracker_tpu.data.samplers import FrameSampler, TrackSampler
 from feartracker_tpu.utils import constants as C
+from feartracker_tpu.utils.image import normalize_imagenet_np as _normalize
 
 SAMPLER_TYPES = {"track": TrackSampler, "frame": FrameSampler}
 
@@ -74,23 +75,33 @@ class SiameseTrackingDataset:
         self.name = config.get("name", os.path.basename(str(self.root)) or "dataset")
         self.photometric = photometric_augmentations()
         self.paired_color = tracking_augmentations()
-        self.rng = np.random.RandomState(seed)
+        # per-item RNGs are derived from (seed, epoch, idx) inside
+        # __getitem__: a single shared RandomState would interleave draws
+        # nondeterministically across the loader's worker threads
+        self.base_seed = 0 if seed is None else int(seed)
+        self.epoch = 0
 
     def __len__(self) -> int:
         return len(self.item_sampler)
 
     def resample(self) -> None:
+        self.epoch += 1
         self.item_sampler.resample()
+
+    def _item_rng(self, idx: int) -> np.random.RandomState:
+        return np.random.RandomState(
+            (self.base_seed * 1000003 + self.epoch * 10007 + idx) % (2**31 - 1)
+        )
 
     # -- crop transforms (ref: tracking_dataset.py:102-153) ----------------
 
-    def _search_offset(self) -> float:
+    def _search_offset(self, rng: np.random.RandomState) -> float:
         min_context = self.search_context - self.context_range / 2
-        return float(self.rng.rand()) * self.context_range + min_context
+        return float(rng.rand()) * self.context_range + min_context
 
-    def _search_transform(self, image: np.ndarray, bbox: np.ndarray):
+    def _search_transform(self, image: np.ndarray, bbox: np.ndarray, rng: np.random.RandomState):
         size = self.sizes["search_image_size"]
-        crop, bbox2, _ = get_extended_crop(image, bbox, crop_size=size * 2, offset=self._search_offset())
+        crop, bbox2, _ = get_extended_crop(image, bbox, crop_size=size * 2, offset=self._search_offset(rng))
         bbox_crop = center_to_bbox([crop.shape[0] // 2, crop.shape[1] // 2, size, size])
         aug = BBoxCropWithOffsets(
             bbox_crop=bbox_crop,
@@ -98,7 +109,7 @@ class SiameseTrackingDataset:
             shift=self.sizes["search_image_shift"],
             crop_size=size,
         )
-        crop, bbox3 = aug(crop, bbox2, self.rng)
+        crop, bbox3 = aug(crop, bbox2, rng)
         bbox3 = handle_empty_bbox(ensure_bbox_boundaries(np.asarray(bbox3), (size, size)))
         return crop, bbox3
 
@@ -113,7 +124,8 @@ class SiameseTrackingDataset:
     # -- item assembly ------------------------------------------------------
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
-        anno = self.item_sampler.extract_sample(idx)
+        rng = self._item_rng(idx)
+        anno = self.item_sampler.extract_sample(idx, rng=rng)
         template_item, search_item = anno["template"], anno["search"]
         template_image = read_img(os.path.join(self.root, template_item["img_path"]))
         search_image = read_img(os.path.join(self.root, search_item["img_path"]))
@@ -126,12 +138,12 @@ class SiameseTrackingDataset:
         presence = int(search_item["presence"])
 
         template_crop, template_bbox = self._template_transform(template_image, template_bbox)
-        search_crop, search_bbox = self._search_transform(search_image, search_bbox)
+        search_crop, search_bbox = self._search_transform(search_image, search_bbox, rng)
         # shared-parameter color augs on the pair (ref: siam_dataset.py:36,64-67)
-        template_crop, search_crop = self.paired_color(template_crop, search_crop, self.rng)
+        template_crop, search_crop = self.paired_color(template_crop, search_crop, rng)
         # independent photometric augs (ref: tracking_dataset.py:170-175)
-        template_crop = self.photometric(template_crop, self.rng)
-        search_crop = self.photometric(search_crop, self.rng)
+        template_crop = self.photometric(template_crop, rng)
+        search_crop = self.photometric(search_crop, rng)
 
         size = self.sizes["search_image_size"]
         search_bbox = ensure_bbox_boundaries(np.asarray(search_bbox), (size, size))
@@ -164,11 +176,6 @@ class SiameseTrackingDataset:
             C.SAMPLE_INDEX_KEY: idx,
         }
 
-
-def _normalize(img_u8: np.ndarray) -> np.ndarray:
-    mean = np.asarray(C.IMAGENET_MEAN, np.float32) * 255.0
-    std = np.asarray(C.IMAGENET_STD, np.float32) * 255.0
-    return (img_u8.astype(np.float32) - mean) / std
 
 
 class ConcatDataset:

@@ -75,6 +75,18 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that keeps checking the stop flag — an abandoned
+            consumer (e.g. train_percent-limited epochs) must not leave the
+            producer parked on a full queue forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
@@ -82,8 +94,9 @@ class BatchLoader:
                         return
                     batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
                     items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(collate(items))
-            q.put(None)
+                    if not put(collate(items)):
+                        return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

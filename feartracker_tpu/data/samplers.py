@@ -87,7 +87,8 @@ class TrackSampler:
                 .reset_index(drop=True)
             )
 
-    def extract_sample(self, idx: int) -> Dict[str, Any]:
+    def extract_sample(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, Any]:
+        rng = self.rng if rng is None else rng  # callers pass a per-item rng for thread safety
         template_item = self.epoch_data.iloc[idx]
         track_indices = self.mapping[template_item["track_id"]]
         if self.clip_range:
@@ -96,9 +97,9 @@ class TrackSampler:
                 (search_items["frame_index"] > template_item["frame_index"] - self.frame_offset)
                 & (search_items["frame_index"] < template_item["frame_index"] + self.frame_offset)
             ]
-            search_item = in_range.sample(1, random_state=self.rng).iloc[0]
+            search_item = in_range.sample(1, random_state=rng).iloc[0]
         else:
-            search_item = self.data.loc[self.rng.choice(track_indices)]
+            search_item = self.data.loc[rng.choice(track_indices)]
         return dict(template=template_item, search=search_item)
 
 
@@ -136,7 +137,7 @@ class FrameSampler(TrackSampler):
                 (search_items["frame_index"] > template_item["frame_index"] - self.frame_offset)
                 & (search_items["frame_index"] < template_item["frame_index"] + self.frame_offset)
             ]
-            search_item = in_range.sample(1, random_state=self.rng).iloc[0]
+            search_item = in_range.sample(1, random_state=rng).iloc[0]
         else:
-            search_item = self.data.loc[self.rng.choice(track_indices)]
+            search_item = self.data.loc[rng.choice(track_indices)]
         return dict(template=template_item, search=search_item)

@@ -22,14 +22,15 @@ from typing import Any, Dict, List, Optional, Tuple
 import cv2
 import numpy as np
 
+from feartracker_tpu.core.geometry import overlap_xywh_np
 from feartracker_tpu.data.dataset import read_img
 from feartracker_tpu.evaluate.got10k_eval import summarize
 from feartracker_tpu.tracker.runtime import ScanTracker
 
 
-def letterbox(frame: np.ndarray, hw: Tuple[int, int]) -> Tuple[np.ndarray, float]:
+def letterbox(frame: np.ndarray, hw: Tuple[int, int]) -> Tuple[np.ndarray, float, Tuple[int, int]]:
     """Scale-preserving resize into an (H, W) canvas (top-left anchored).
-    Returns (canvas, scale)."""
+    Returns (canvas, scale, placed (h, w))."""
     H, W = hw
     h, w = frame.shape[:2]
     scale = min(H / h, W / w)
@@ -37,7 +38,7 @@ def letterbox(frame: np.ndarray, hw: Tuple[int, int]) -> Tuple[np.ndarray, float
     resized = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
     canvas = np.zeros((H, W, 3), frame.dtype)
     canvas[:nh, :nw] = resized
-    return canvas, scale
+    return canvas, scale, (nh, nw)
 
 
 def batched_evaluate(
@@ -55,9 +56,18 @@ def batched_evaluate(
     seq_overlaps: List[np.ndarray] = []
     seq_names: List[str] = []
 
-    n_seq = len(dataset)
-    for g0 in range(0, n_seq, streams):
-        idxs = list(range(g0, min(g0 + streams, n_seq)))
+    # sequences need at least an init frame + one scored frame (GOT-10k test
+    # groundtruth carries only the init row — those cannot be scored locally)
+    scorable = [
+        i for i in range(len(dataset))
+        if min(len(dataset[i][0]), len(dataset[i][1])) >= 2
+    ]
+    skipped = len(dataset) - len(scorable)
+    if skipped and verbose:
+        print(f"  skipping {skipped} sequences with <2 annotated frames")
+
+    for g0 in range(0, len(scorable), streams):
+        idxs = scorable[g0 : g0 + streams]
         S = len(idxs)
         seqs = [dataset[i] for i in idxs]  # (files, anno, name)
         lengths = [
@@ -69,14 +79,19 @@ def batched_evaluate(
             i, t = i_and_t
             files = seqs[i][0]
             t_eff = min(t, lengths[i] - 1)  # freeze on last frame after end
-            return letterbox(read_img(files[t_eff]), frame_hw)
+            return letterbox(read_img(files[t_eff]), frame_hw)[:2]
 
-        # init
-        first = list(pool.map(load, [(i, 0) for i in range(S)]))
-        frames0 = np.stack([f for f, _ in first])
-        scales = np.array([s for _, s in first])
+        # init; pad color = mean of the real image region, not the
+        # letterbox bars (parity with ref fear_tracker.py:27)
+        first = [letterbox(read_img(seqs[i][0][0]), frame_hw) for i in range(S)]
+        frames0 = np.stack([f for f, _, _ in first])
+        scales = np.array([s for _, s, _ in first])
+        mean_colors = np.stack([
+            frames0[i][: first[i][2][0], : first[i][2][1]].astype(np.float64).mean(axis=(0, 1))
+            for i in range(S)
+        ]).astype(np.float32)
         bb0 = np.stack([np.asarray(seqs[i][1][0], np.float64) * scales[i] for i in range(S)]).astype(np.float32)
-        state = tracker.init(frames0, bb0)
+        state = tracker.init(frames0, bb0, mean_color=mean_colors)
 
         preds = [[np.asarray(seqs[i][1][0], np.float64)] for i in range(S)]
         t = 1
@@ -105,11 +120,4 @@ def batched_evaluate(
     return summarize(seq_overlaps, seq_names)
 
 
-def _overlap(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    x1 = np.maximum(pred[:, 0], gt[:, 0])
-    y1 = np.maximum(pred[:, 1], gt[:, 1])
-    x2 = np.minimum(pred[:, 0] + pred[:, 2], gt[:, 0] + gt[:, 2])
-    y2 = np.minimum(pred[:, 1] + pred[:, 3], gt[:, 1] + gt[:, 3])
-    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
-    union = pred[:, 2] * pred[:, 3] + gt[:, 2] * gt[:, 3] - inter
-    return inter / np.maximum(union, 1e-9)
+_overlap = overlap_xywh_np

@@ -21,13 +21,13 @@ def count_params(params) -> int:
 def track_cost(model, variables, search_size: int = 256, feat_size: int = 8, channels: int = 256) -> Dict[str, float]:
     """FLOPs + bytes of one jitted track() call (the deployed graph)."""
 
-    def fn(search, feats):
+    def fn(variables, search, feats):
         out = model.apply(variables, search, feats, method=model.track)
         return out["TARGET_REGRESSION_LABEL_KEY"], out["TARGET_CLASSIFICATION_KEY"]
 
     search = jnp.zeros((1, search_size, search_size, 3), jnp.float32)
     feats = jnp.zeros((1, feat_size, feat_size, channels), jnp.float32)
-    lowered = jax.jit(fn).lower(search, feats)
+    lowered = jax.jit(fn).lower(variables, search, feats)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, list):  # older jax returns a list per computation
         cost = cost[0]

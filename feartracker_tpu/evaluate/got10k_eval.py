@@ -37,6 +37,10 @@ def evaluate_tracker(
     for s in range(len(dataset)):
         files, anno, _ = dataset[s]
         n = min(len(files), len(anno))
+        if n < 2:  # e.g. GOT-10k test: groundtruth has only the init row
+            if verbose:
+                print(f"  skipping {dataset.sequence_name(s)}: <2 annotated frames")
+            continue
         if max_frames:
             n = min(n, max_frames)
         tracker.initialize(read_img(files[0]), np.asarray(anno[0], int))

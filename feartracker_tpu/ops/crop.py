@@ -46,10 +46,12 @@ def crop_resize(
     H, W = frame.shape[0], frame.shape[1]
     wx, wy, ww, wh = window[0], window[1], window[2], window[3]
 
-    # cv2 INTER_LINEAR grid: src = (dst + 0.5) * (src_size / dst_size) - 0.5
+    # cv2 INTER_LINEAR grid: src = (dst + 0.5) * (src_size / dst_size) - 0.5,
+    # clamped into the window — cv2 resizes the (padded) crop image and
+    # border-replicates at its edges, so samples never read past the window
     d = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
-    src_x = wx + d * ww - 0.5
-    src_y = wy + d * wh - 0.5
+    src_x = jnp.clip(wx + d * ww - 0.5, wx, wx + ww - 1.0)
+    src_y = jnp.clip(wy + d * wh - 0.5, wy, wy + wh - 1.0)
 
     x0 = jnp.floor(src_x)
     y0 = jnp.floor(src_y)
@@ -87,7 +89,7 @@ def _interp_matrix(origin: jnp.ndarray, size: jnp.ndarray, src_len: int, out_siz
     0 fully outside) — used to mix in the pad color separably.
     """
     d = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
-    src = origin + d * size - 0.5
+    src = jnp.clip(origin + d * size - 0.5, origin, origin + size - 1.0)
     s0 = jnp.floor(src)
     f = src - s0
     s0 = s0.astype(jnp.int32)

@@ -112,10 +112,11 @@ class ScanTracker:
         x = normalize_imagenet(crops).astype(self.dtype)
         return self.model.apply(variables, x, method=self.model.get_features)
 
-    def _init_impl(self, variables, frames: jnp.ndarray, bboxes: jnp.ndarray) -> StreamState:
+    def _init_impl(self, variables, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color=None) -> StreamState:
         H, W = frames.shape[1], frames.shape[2]
         bboxes = clamp_bbox(bboxes.astype(jnp.float32), (H, W))
-        mean_color = jnp.mean(frames.astype(jnp.float32), axis=(1, 2))
+        if mean_color is None:
+            mean_color = jnp.mean(frames.astype(jnp.float32), axis=(1, 2))
         feats = self._template_features(variables, frames, bboxes, mean_color)
         return StreamState(
             template_feats=feats,
@@ -184,9 +185,14 @@ class ScanTracker:
 
     # -- public API --------------------------------------------------------
 
-    def init(self, frames, bboxes) -> StreamState:
-        """First frame of every stream + initial boxes → carried state."""
-        return self._init_jit(self.variables, jnp.asarray(frames), jnp.asarray(bboxes))
+    def init(self, frames, bboxes, mean_color=None) -> StreamState:
+        """First frame of every stream + initial boxes → carried state.
+
+        ``mean_color`` (S, 3) overrides the pad color (default: frame mean,
+        ref fear_tracker.py:27 — callers feeding letterboxed frames should
+        pass the mean of the real image region)."""
+        mc = None if mean_color is None else jnp.asarray(mean_color, jnp.float32)
+        return self._init_jit(self.variables, jnp.asarray(frames), jnp.asarray(bboxes), mc)
 
     def step(self, state: StreamState, frames) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """One frame for every stream."""

@@ -23,6 +23,7 @@ from feartracker_tpu.core import postprocess as pp
 from feartracker_tpu.core.geometry import clamp_bbox, rescale_crop_bbox
 from feartracker_tpu.data.crops import get_extended_crop
 from feartracker_tpu.models.fear_net import FEARNet
+from feartracker_tpu.ops.crop import normalize_imagenet
 from feartracker_tpu.tracker.config import TrackerConfig
 from feartracker_tpu.utils.constants import (
     IMAGENET_MEAN,
@@ -33,9 +34,7 @@ from feartracker_tpu.utils.constants import (
 
 
 def _normalize(img: jnp.ndarray) -> jnp.ndarray:
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-    return (img.astype(jnp.float32) - mean) / std
+    return normalize_imagenet(img.astype(jnp.float32))
 
 
 class FEARTracker:

@@ -162,12 +162,17 @@ class Trainer:
         )
 
     def _loader(self) -> BatchLoader:
-        return BatchLoader(
-            self.train_dataset,
-            batch_size=self.batch_size,
-            num_workers=int(self.config.get("num_workers", 2)),
-            seed=int(self.config.get("seed", 0)),
-        )
+        # one loader for the whole fit: its internal epoch counter drives the
+        # per-epoch reshuffle (a fresh loader every epoch would replay the
+        # same permutation)
+        if not hasattr(self, "_loader_cache"):
+            self._loader_cache = BatchLoader(
+                self.train_dataset,
+                batch_size=self.batch_size,
+                num_workers=int(self.config.get("num_workers", 2)),
+                seed=int(self.config.get("seed", 0)),
+            )
+        return self._loader_cache
 
     # -- epochs ------------------------------------------------------------
 

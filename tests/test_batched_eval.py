@@ -44,7 +44,8 @@ def synthetic_got10k(tmp_path_factory):
 
 def test_letterbox_scales_and_pads():
     frame = np.full((50, 100, 3), 200, np.uint8)
-    canvas, scale = letterbox(frame, (64, 64))
+    canvas, scale, placed = letterbox(frame, (64, 64))
+    assert placed == (32, 64)
     assert canvas.shape == (64, 64, 3)
     assert scale == pytest.approx(0.64)
     assert canvas[:32, :64].mean() > 150  # image region
