@@ -1,0 +1,125 @@
+"""Production serving layer: a fixed-capacity pool of live tracking streams.
+
+The reference's serving story is one tracker per device with external
+re-init on failure (ref: FEARTrackingViewController.swift:37-61,98-103 —
+per-camera, CoreML). On TPU the economics invert: one chip serves hundreds
+of streams, so serving needs slot management on top of the scan runtime:
+
+  * ``add(frame, bbox)``      — claim a slot, build its template on device
+  * ``remove(slot)``          — release a slot
+  * ``step(frames)``          — advance every active slot one frame
+  * auto re-init option       — a slot whose confidence drops below the
+    threshold re-templates from the current prediction (the on-device
+    analog of the iOS throw-and-reinitialize flow, VOTracker.swift:84-86)
+
+All state lives in fixed-shape device arrays (slot updates are jitted
+scatter ops) — shapes never change, so nothing ever recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feartracker_tpu.tracker.runtime import ScanTracker, StreamState
+
+
+class StreamPool:
+    def __init__(
+        self,
+        tracker: ScanTracker,
+        capacity: int,
+        frame_hw,
+        auto_reinit: bool = False,
+    ):
+        self.tracker = tracker
+        self.capacity = capacity
+        self.frame_hw = tuple(frame_hw)
+        self.auto_reinit = auto_reinit
+        self.active = np.zeros(capacity, bool)
+        self._free: List[int] = list(range(capacity))
+
+        H, W = self.frame_hw
+        # derive the template feature shape from a cheap probe instead of
+        # config arithmetic (stride conventions vary across model configs)
+        probe = tracker._template_features(
+            tracker.variables,
+            jnp.zeros((1, H, W, 3)),
+            jnp.zeros((1, 4)) + jnp.asarray([0.0, 0.0, 8.0, 8.0]),
+            jnp.zeros((1, 3)),
+        )
+        fs = probe.shape[1:]
+        z = jnp.zeros
+        self.state = StreamState(
+            template_feats=z((capacity,) + fs, probe.dtype),
+            dyn_feats=z((capacity,) + fs, probe.dtype),
+            bbox=jnp.tile(jnp.asarray([[0.0, 0.0, 8.0, 8.0]], jnp.float32), (capacity, 1)),
+            mean_color=z((capacity, 3), jnp.float32),
+            confidence=z((capacity,), jnp.float32),
+        )
+
+        @jax.jit
+        def _write_slot(state: StreamState, slot, sub: StreamState) -> StreamState:
+            return StreamState(
+                template_feats=state.template_feats.at[slot].set(sub.template_feats[0]),
+                dyn_feats=state.dyn_feats.at[slot].set(sub.dyn_feats[0]),
+                bbox=state.bbox.at[slot].set(sub.bbox[0]),
+                mean_color=state.mean_color.at[slot].set(sub.mean_color[0]),
+                confidence=state.confidence.at[slot].set(sub.confidence[0]),
+            )
+
+        self._write_slot = _write_slot
+
+    # -- slot management -----------------------------------------------------
+
+    def add(self, frame: np.ndarray, bbox) -> int:
+        """Claim a slot and initialize it from (frame, bbox); returns slot id."""
+        if not self._free:
+            raise RuntimeError(f"stream pool exhausted ({self.capacity} slots)")
+        assert frame.shape[:2] == self.frame_hw, (frame.shape, self.frame_hw)
+        slot = self._free.pop(0)
+        sub = self.tracker._init_jit(
+            self.tracker.variables,
+            jnp.asarray(frame)[None],
+            jnp.asarray(np.asarray(bbox, np.float32))[None],
+            None,
+        )
+        self.state = self._write_slot(self.state, slot, sub)
+        self.active[slot] = True
+        return slot
+
+    def remove(self, slot: int) -> None:
+        if not self.active[slot]:
+            return
+        self.active[slot] = False
+        self._free.append(slot)
+
+    @property
+    def num_active(self) -> int:
+        return int(self.active.sum())
+
+    # -- stepping ------------------------------------------------------------
+
+    def step(self, frames: np.ndarray) -> Dict[str, Any]:
+        """Advance all slots one frame. ``frames``: (capacity, H, W, 3) —
+        inactive slots may carry anything (their outputs are masked)."""
+        self.state, out = self.tracker.step(self.state, frames)
+        result = {
+            "bbox": np.asarray(out["bbox"]),
+            "confidence": np.asarray(out["confidence"]),
+            "failure": np.asarray(out["failure"]) & self.active,
+            "active": self.active.copy(),
+        }
+        if self.auto_reinit:
+            for slot in np.nonzero(result["failure"])[0]:
+                sub = self.tracker._init_jit(
+                    self.tracker.variables,
+                    jnp.asarray(frames[slot])[None],
+                    jnp.asarray(result["bbox"][slot], jnp.float32)[None],
+                    None,
+                )
+                self.state = self._write_slot(self.state, int(slot), sub)
+        return result

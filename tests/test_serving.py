@@ -1,0 +1,87 @@
+"""Stream pool serving layer: slot lifecycle, masked outputs, capacity, and
+consistency with a dedicated single-stream tracker."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feartracker_tpu.models.fbnet import TINY_TRUNK
+from feartracker_tpu.models.fear_net import FEARNet
+from feartracker_tpu.tracker.config import TrackerConfig
+from feartracker_tpu.tracker.runtime import ScanTracker
+from feartracker_tpu.tracker.serving import StreamPool
+
+CFG = TrackerConfig(score_size=8, total_stride=8, instance_size=64, template_size=32)
+HW = (96, 128)
+
+
+@pytest.fixture(scope="module")
+def tracker():
+    model = FEARNet(trunk_blocks=TINY_TRUNK, adjust_channels=16, towernum=1)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 64, 64, 3))),
+        train=False,
+    )
+    return ScanTracker(model, variables, CFG)
+
+
+def _frames(rng, n=1):
+    return rng.randint(0, 255, (n, *HW, 3)).astype(np.float32)
+
+
+def test_slot_lifecycle(tracker):
+    rng = np.random.RandomState(0)
+    pool = StreamPool(tracker, capacity=4, frame_hw=HW)
+    f = _frames(rng)[0]
+    s0 = pool.add(f, [40, 30, 30, 40])
+    s1 = pool.add(f, [10, 10, 20, 20])
+    assert (s0, s1) == (0, 1) and pool.num_active == 2
+
+    out = pool.step(np.broadcast_to(f, (4, *HW, 3)))
+    assert out["bbox"].shape == (4, 4)
+    assert out["active"].tolist() == [True, True, False, False]
+    # inactive slots never flag failure
+    assert not out["failure"][2:].any()
+
+    pool.remove(s0)
+    assert pool.num_active == 1
+    s2 = pool.add(f, [50, 50, 20, 20])  # FIFO free list: next unused slot
+    assert s2 == 2
+    pool.add(f, [5, 5, 10, 10])
+    s4 = pool.add(f, [6, 6, 10, 10])  # the freed slot 0 comes back around
+    assert s4 == s0
+
+
+def test_pool_capacity_guard(tracker):
+    rng = np.random.RandomState(1)
+    pool = StreamPool(tracker, capacity=2, frame_hw=HW)
+    f = _frames(rng)[0]
+    pool.add(f, [40, 30, 30, 40])
+    pool.add(f, [10, 10, 20, 20])
+    with pytest.raises(RuntimeError):
+        pool.add(f, [5, 5, 10, 10])
+
+
+def test_pool_matches_dedicated_stream(tracker):
+    """A slot tracked through the pool must produce the same trajectory as a
+    1-stream ScanTracker with the same inputs."""
+    rng = np.random.RandomState(2)
+    seq = _frames(rng, 6)
+
+    pool = StreamPool(tracker, capacity=3, frame_hw=HW)
+    slot = pool.add(seq[0], [40, 30, 30, 40])
+    pool_boxes = []
+    for t in range(1, 6):
+        out = pool.step(np.broadcast_to(seq[t], (3, *HW, 3)))
+        pool_boxes.append(out["bbox"][slot])
+
+    single = tracker.init(seq[0][None], np.array([[40, 30, 30, 40]], np.float32))
+    state = single
+    single_boxes = []
+    for t in range(1, 6):
+        state, out = tracker.step(state, seq[t][None])
+        single_boxes.append(np.asarray(out["bbox"])[0])
+
+    np.testing.assert_allclose(np.asarray(pool_boxes), np.asarray(single_boxes), atol=1e-3)
