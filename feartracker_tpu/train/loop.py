@@ -320,9 +320,10 @@ class Trainer:
 
         max_epochs = int(self.config.get("max_epochs", 150))
         min_epochs = int(self.config.get("min_epochs", 0))
+        val_every = int(self.config.get("check_val_every_n_epoch", 1))  # (ref: trainer.py:69)
         for epoch in range(max_epochs):
             train_metrics = self.train_epoch(epoch)
-            val_metrics = self.validate(epoch)
+            val_metrics = self.validate(epoch) if (epoch + 1) % val_every == 0 else {}
             monitor = val_metrics.get("box_iou", train_metrics.get("box_iou", 0.0))
             logger.info("epoch %d done: train %s valid %s", epoch, train_metrics, val_metrics)
 

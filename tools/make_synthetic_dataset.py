@@ -1,0 +1,134 @@
+"""Generate a synthetic single-object tracking dataset (train CSV + GOT-10k
+style val sequences).
+
+Moving, scaling, color-jittered shapes over textured backgrounds — enough
+signal to verify end-to-end that the training stack actually learns to track
+(the reference provides no such capability; its smoke path was a config that
+subsamples real datasets, config/utility_overrides/local_fast.yaml).
+
+    python tools/make_synthetic_dataset.py --root /tmp/synth --tracks 40 \
+        --frames 24 --val_sequences 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import cv2
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _textured_background(rng, size):
+    h, w = size
+    base = rng.randint(30, 120, (h // 8, w // 8, 3)).astype(np.uint8)
+    bg = cv2.resize(base, (w, h), interpolation=cv2.INTER_LINEAR)
+    noise = rng.randint(-12, 13, (h, w, 3))
+    return np.clip(bg.astype(int) + noise, 0, 255).astype(np.uint8)
+
+
+def _draw_object(img, rng, cx, cy, w, h, color, kind):
+    x1, y1 = int(cx - w / 2), int(cy - h / 2)
+    x2, y2 = int(cx + w / 2), int(cy + h / 2)
+    if kind == 0:
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+    elif kind == 1:
+        cv2.ellipse(img, (int(cx), int(cy)), (int(w / 2), int(h / 2)), 0, 0, 360, color, -1)
+    else:
+        pts = np.array([[cx, y1], [x2, y2], [x1, y2]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+    return [x1, y1, x2 - x1, y2 - y1]
+
+
+def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractors=2):
+    h, w = size
+    bg = _textured_background(rng, size)
+    color = tuple(int(c) for c in rng.randint(120, 255, 3))
+    kind = int(rng.randint(3))
+    cx, cy = rng.uniform(0.3 * w, 0.7 * w), rng.uniform(0.3 * h, 0.7 * h)
+    ow, oh = rng.uniform(24, 48), rng.uniform(24, 48)
+    vx, vy = rng.uniform(-4, 4), rng.uniform(-3, 3)
+    dis = [
+        (tuple(int(c) for c in rng.randint(60, 255, 3)), int(rng.randint(3)),
+         rng.uniform(0, w), rng.uniform(0, h), rng.uniform(12, 36), rng.uniform(-3, 3), rng.uniform(-3, 3))
+        for _ in range(distractors)
+    ]
+    rows = []
+    for f in range(n_frames):
+        img = bg.copy()
+        # distractors first (object occludes them)
+        for dcolor, dkind, dx, dy, ds, dvx, dvy in dis:
+            px = (dx + dvx * f) % w
+            py = (dy + dvy * f) % h
+            _draw_object(img, rng, px, py, ds, ds, dcolor, dkind)
+        scale = 1.0 + 0.25 * np.sin(f / 6.0)
+        cxf = np.clip(cx + vx * f, 0.15 * w, 0.85 * w)
+        cyf = np.clip(cy + vy * f, 0.15 * h, 0.85 * h)
+        jitter = tuple(int(np.clip(c + rng.randint(-10, 11), 0, 255)) for c in color)
+        bbox = _draw_object(img, rng, cxf, cyf, ow * scale, oh * scale, jitter, kind)
+        path = f"{track_id}_f{f:04d}.jpg"
+        cv2.imwrite(os.path.join(out_dir, path), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        near = int(bbox[0] <= 2 or bbox[1] <= 2 or bbox[0] + bbox[2] >= w - 2 or bbox[1] + bbox[3] >= h - 2)
+        rows.append(
+            dict(
+                sequence_id=track_id, track_id=track_id, frame_index=f, img_path=path,
+                bbox=str(bbox), frame_shape=str([w, h]), dataset="synthetic",
+                presence=1, near_corner=near,
+            )
+        )
+    return rows
+
+
+def generate(root, tracks=40, frames=24, val_sequences=8, seed=0):
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rows = []
+    for t in range(tracks):
+        rows += generate_track(rng, img_dir, f"track{t:04d}", frames)
+    df = pd.DataFrame(rows)
+    df["img_path"] = "images/" + df["img_path"]
+    csv_path = os.path.join(root, "train.csv")
+    df.to_csv(csv_path, index=False)
+
+    # held-out val sequences in GOT-10k layout
+    val_base = os.path.join(root, "got10k", "val")
+    os.makedirs(val_base, exist_ok=True)
+    names = []
+    for s in range(val_sequences):
+        seq = f"GOT-10k_Val_{s:06d}"
+        seq_dir = os.path.join(val_base, seq)
+        os.makedirs(seq_dir, exist_ok=True)
+        vrows = generate_track(rng, seq_dir, seq, frames)
+        gt = []
+        for i, r in enumerate(vrows):
+            src = os.path.join(seq_dir, r["img_path"])
+            dst = os.path.join(seq_dir, f"{i:08d}.jpg")
+            os.replace(src, dst)
+            gt.append(",".join(map(str, eval(r["bbox"]))))
+        with open(os.path.join(seq_dir, "groundtruth.txt"), "w") as fh:
+            fh.write("\n".join(gt))
+        names.append(seq)
+    with open(os.path.join(val_base, "list.txt"), "w") as fh:
+        fh.write("\n".join(names))
+    return csv_path
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", required=True)
+    p.add_argument("--tracks", type=int, default=40)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--val_sequences", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    csv_path = generate(args.root, args.tracks, args.frames, args.val_sequences, args.seed)
+    print(f"wrote {csv_path} + val sequences under {args.root}/got10k/val")
+
+
+if __name__ == "__main__":
+    main()
