@@ -47,18 +47,30 @@ def _deep_merge(base: Dict[str, Any], new: Dict[str, Any]) -> Dict[str, Any]:
 def _get_path(cfg: Dict[str, Any], dotted: str):
     cur: Any = cfg
     for part in dotted.split("."):
-        if not isinstance(cur, dict) or part not in cur:
+        if isinstance(cur, list) and part.isdigit() and int(part) < len(cur):
+            cur = cur[int(part)]
+        elif isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
             raise KeyError(f"interpolation/override path not found: {dotted!r}")
-        cur = cur[part]
     return cur
 
 
 def _set_path(cfg: Dict[str, Any], dotted: str, value: Any) -> None:
+    """Set a dotted path; numeric segments index into lists (Hydra-style
+    ``train.datasets.0.root=...``)."""
     parts = dotted.split(".")
-    cur = cfg
+    cur: Any = cfg
     for p in parts[:-1]:
-        cur = cur.setdefault(p, {})
-    cur[parts[-1]] = value
+        if isinstance(cur, list):
+            cur = cur[int(p)]
+        else:
+            cur = cur.setdefault(p, {})
+    last = parts[-1]
+    if isinstance(cur, list):
+        cur[int(last)] = value
+    else:
+        cur[last] = value
 
 
 def _parse_value(text: str) -> Any:

@@ -65,3 +65,17 @@ def test_full_train_has_five_datasets():
 def test_unknown_interpolation_raises():
     with pytest.raises(KeyError):
         load_config("fear_tracker", overrides=["sizes.bogus=${does.not.exist}"])
+
+
+def test_list_index_override():
+    cfg = load_config(
+        "fear_tracker",
+        overrides=[
+            "train.datasets.0.root=/tmp/other",
+            "train.datasets.0.sampling.num_samples=7",
+            "val.datasets.0.root_dir=/tmp/val",
+        ],
+    )
+    assert cfg["train"]["datasets"][0]["root"] == "/tmp/other"
+    assert cfg["train"]["datasets"][0]["sampling"]["num_samples"] == 7
+    assert cfg["val"]["datasets"][0]["root_dir"] == "/tmp/val"
