@@ -166,7 +166,12 @@ def load_fear_xs(
     head_p["bias"] = np.zeros((1, 1, 1, 4), np.float32)
     head_p["cls_scale"] = np.ones((1,), np.float32)
 
-    params = {"encoder": enc_p, "neck": neck_p, "connect_model": head_p}
+    params = {
+        "encoder": enc_p,
+        "neck": neck_p,
+        "connect_model": head_p,
+        "template_gate": np.zeros((1,), np.float32),
+    }
     stats = {"encoder": enc_s, "neck": neck_s, "connect_model": head_s}
     return {"params": params, "batch_stats": stats}
 

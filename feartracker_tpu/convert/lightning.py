@@ -154,7 +154,12 @@ def lightning_to_variables(state_dict: Dict[str, np.ndarray], channels: int = 25
     head_p["cls_scale"] = np.full((1,), 0.1, np.float32)  # literal 0.1 (blocks.py:192)
 
     return {
-        "params": {"encoder": enc_p, "neck": neck_p, "connect_model": head_p},
+        "params": {
+            "encoder": enc_p,
+            "neck": neck_p,
+            "connect_model": head_p,
+            "template_gate": np.zeros((1,), np.float32),
+        },
         "batch_stats": {"encoder": enc_s, "neck": neck_s, "connect_model": head_s},
     }
 

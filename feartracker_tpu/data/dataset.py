@@ -75,6 +75,9 @@ class SiameseTrackingDataset:
         self.name = config.get("name", os.path.basename(str(self.root)) or "dataset")
         self.photometric = photometric_augmentations()
         self.paired_color = tracking_augmentations()
+        # emit an auxiliary later-frame template crop for dual-template
+        # training (paper feature; reference README.md:96)
+        self.dynamic_template = bool(config.get("dynamic_template", False))
         # per-item RNGs are derived from (seed, epoch, idx) inside
         # __getitem__: a single shared RandomState would interleave draws
         # nondeterministically across the loader's worker threads
@@ -139,6 +142,14 @@ class SiameseTrackingDataset:
 
         template_crop, template_bbox = self._template_transform(template_image, template_bbox)
         search_crop, search_bbox = self._search_transform(search_image, search_bbox, rng)
+        aux = None
+        if self.dynamic_template:
+            aux_item = self.item_sampler.extract_sample(idx, rng=rng)["search"]
+            aux_image = read_img(os.path.join(self.root, aux_item["img_path"]))
+            aux_bbox = ensure_bbox_boundaries(
+                np.asarray(ast.literal_eval(str(aux_item["bbox"]))), aux_image.shape[:2]
+            )
+            aux, aux_bbox = self._template_transform(aux_image, aux_bbox)
         # shared-parameter color augs on the pair (ref: siam_dataset.py:36,64-67)
         template_crop, search_crop = self.paired_color(template_crop, search_crop, rng)
         # independent photometric augs (ref: tracking_dataset.py:170-175)
@@ -161,7 +172,7 @@ class SiameseTrackingDataset:
             reg = np.zeros((self.grid_size, self.grid_size, 4), np.float32)
             cls = np.zeros((self.grid_size, self.grid_size, 1), np.float32)
 
-        return {
+        item = {
             C.TARGET_REGRESSION_LABEL_KEY: reg,
             C.TARGET_CLASSIFICATION_KEY: cls,
             C.TARGET_REGRESSION_WEIGHT_KEY: weight,
@@ -175,6 +186,10 @@ class SiameseTrackingDataset:
             C.DATASET_NAME_KEY: str(search_item.get("dataset", self.name)),
             C.SAMPLE_INDEX_KEY: idx,
         }
+        if aux is not None:
+            item[C.TRACKER_TARGET_AUX_IMAGE_KEY] = _normalize(aux)
+            item[C.TRACKER_TARGET_AUX_BBOX_KEY] = aux_bbox.astype(np.float32)
+        return item
 
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from feartracker_tpu.models.blocks import AdjustLayer, BoxTower
@@ -38,6 +39,10 @@ class FEARNet(nn.Module):
         self.neck = AdjustLayer(features=self.adjust_channels, **kw)
         self.connect_model = BoxTower(
             features=self.adjust_channels, towernum=self.towernum, **kw
+        )
+        # dynamic-template interpolation weight (see forward_dual)
+        self.template_gate = self.param(
+            "template_gate", lambda k: jnp.zeros((1,), jnp.float32)
         )
 
     def get_features(self, crop: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -75,3 +80,24 @@ class FEARNet(nn.Module):
         template_features = self.get_features(template, train)
         search_features = self.get_features(search, train)
         return self.connector(template_features, search_features, train=train)
+
+    def forward_dual(
+        self, x: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        """Dual-template training forward: (template, search, aux_template).
+
+        The classification branch correlates against a LEARNED interpolation
+        of the static template and an auxiliary (later-frame) template —
+        the trainable dynamic-template module the reference announced but
+        never released (ref: README.md:96 "Dynamic Template Update module,
+        it'll be added soon"; hook at blocks.py:174-181). The interpolation
+        weight ``sigmoid(template_gate)`` is learned end-to-end; at inference
+        the scan runtime can reuse it (ScanTracker ``update_mode='gated'``).
+        """
+        template, search, aux = x
+        template_features = self.get_features(template, train)
+        search_features = self.get_features(search, train)
+        aux_features = self.get_features(aux, train)
+        gate = jax.nn.sigmoid(self.template_gate).astype(template_features.dtype)
+        update = (1.0 - gate) * template_features + gate * aux_features
+        return self.connector(template_features, search_features, update, train=train)

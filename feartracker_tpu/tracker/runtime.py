@@ -69,6 +69,7 @@ class ScanTracker:
         dynamic_template: bool = False,
         update_threshold: float = 0.85,
         update_rate: float = 0.1,
+        update_mode: str = "ema",
         dtype: jnp.dtype = jnp.float32,
         crop_impl: str = "mm",
         postprocess_impl: str = "xla",
@@ -84,6 +85,10 @@ class ScanTracker:
         self.dynamic_template = dynamic_template
         self.update_threshold = update_threshold
         self.update_rate = update_rate
+        # "ema": dyn <- (1-r)·dyn + r·candidate; "gated": paper-style learned
+        # interpolation of the STATIC template with the candidate, using the
+        # trained sigmoid(template_gate) (models/fear_net.forward_dual)
+        self.update_mode = update_mode
         self.dtype = dtype
         # weights ride as jit arguments (device arrays), not baked constants
         self._init_jit = jax.jit(self._init_impl)
@@ -162,7 +167,11 @@ class ScanTracker:
         if self.dynamic_template:
             cand = self._template_features(variables, framesf, bbox, state.mean_color)
             gate = (res.confidence > self.update_threshold)[:, None, None, None]
-            blended = (1.0 - self.update_rate) * dyn + self.update_rate * cand
+            if self.update_mode == "gated":
+                g = jax.nn.sigmoid(variables["params"]["template_gate"]).astype(dyn.dtype)
+                blended = (1.0 - g) * state.template_feats + g * cand
+            else:
+                blended = (1.0 - self.update_rate) * dyn + self.update_rate * cand
             dyn = jnp.where(gate, blended, dyn)
 
         new_state = StreamState(

@@ -49,6 +49,7 @@ _DEVICE_KEYS = (
     C.TARGET_REGRESSION_WEIGHT_KEY,
     C.TRACKER_TARGET_BBOX_KEY,
     C.TARGET_VISIBILITY_KEY,
+    C.TRACKER_TARGET_AUX_IMAGE_KEY,
 )
 
 
@@ -122,6 +123,7 @@ class Trainer:
             coeffs=config.get("loss", {}).get("coeffs"),
             spec=self.box_spec,
             mesh=self.mesh,
+            dual_template=bool(config.get("dual_template", False)),
         )
 
         bs = config.get("batch_size", 32)

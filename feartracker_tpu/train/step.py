@@ -34,6 +34,7 @@ from feartracker_tpu.utils.constants import (
     TARGET_CLASSIFICATION_KEY,
     TARGET_REGRESSION_LABEL_KEY,
     TARGET_VISIBILITY_KEY,
+    TRACKER_TARGET_AUX_IMAGE_KEY,
     TRACKER_TARGET_BBOX_KEY,
     TRACKER_TARGET_SEARCH_IMAGE_KEY,
     TRACKER_TARGET_TEMPLATE_IMAGE_KEY,
@@ -84,20 +85,34 @@ def make_train_step(
     coeffs: Optional[Dict[str, float]] = None,
     spec: bc.BoxCoderSpec = bc.BoxCoderSpec(),
     mesh: Optional[Mesh] = None,
+    dual_template: bool = False,
 ):
     """Build the jitted train step. With ``mesh`` the step is shard_map-ed
     over the ``data`` axis (model must be built with
-    ``bn_axis_name=DATA_AXIS``); without, it is plain single-device jit."""
+    ``bn_axis_name=DATA_AXIS``); without, it is plain single-device jit.
+    ``dual_template`` trains through ``forward_dual`` (the learned dynamic-
+    template interpolation) — the batch must carry the AUX image key."""
 
     def loss_fn(params, batch_stats, batch):
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            (
+        if dual_template:
+            inputs = (
                 batch[TRACKER_TARGET_TEMPLATE_IMAGE_KEY],
                 batch[TRACKER_TARGET_SEARCH_IMAGE_KEY],
-            ),
+                batch[TRACKER_TARGET_AUX_IMAGE_KEY],
+            )
+            method = model.forward_dual
+        else:
+            inputs = (
+                batch[TRACKER_TARGET_TEMPLATE_IMAGE_KEY],
+                batch[TRACKER_TARGET_SEARCH_IMAGE_KEY],
+            )
+            method = None
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            inputs,
             train=True,
             mutable=["batch_stats"],
+            method=method,
         )
         losses = fear_loss(out, batch, coeffs)
         total = losses[TARGET_CLASSIFICATION_KEY] + losses[TARGET_REGRESSION_LABEL_KEY]

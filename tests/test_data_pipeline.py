@@ -145,3 +145,18 @@ def test_host_sharding_partitions_data(csv_dataset):
     i1 = l1._indices()
     assert set(i0).isdisjoint(set(i1))
     assert len(set(i0) | set(i1)) == len(cat)
+
+
+def test_dynamic_template_emits_aux(csv_dataset):
+    root, csv_path = csv_dataset
+    cfg = _config(root, csv_path)
+    cfg["dynamic_template"] = True
+    ds = SiameseTrackingDataset(cfg, {"score_size": 16, "total_stride": 16}, seed=4)
+    item = ds[0]
+    assert item[C.TRACKER_TARGET_AUX_IMAGE_KEY].shape == (128, 128, 3)
+    assert item[C.TRACKER_TARGET_AUX_BBOX_KEY].shape == (4,)
+    # loader stacks it
+    from feartracker_tpu.data.loader import BatchLoader
+
+    b = next(iter(BatchLoader(ConcatDataset([ds]), batch_size=4, num_workers=2)))
+    assert b[C.TRACKER_TARGET_AUX_IMAGE_KEY].shape == (4, 128, 128, 3)

@@ -64,3 +64,17 @@ def test_sharded_dynamic_template():
     state, out = sharded.track(state, chunk)
     assert np.isfinite(np.asarray(out["bbox"])).all()
     assert len(state.dyn_feats.sharding.device_set) == 8
+
+
+def test_gated_update_mode():
+    """'gated' dual-template mode uses the learned interpolation of the
+    static template with the candidate."""
+    model, variables, frames0, chunk, bboxes = _setup()
+    tr = ScanTracker(
+        model, variables, CFG, dynamic_template=True, update_threshold=-1.0, update_mode="gated"
+    )
+    state = tr.init(frames0, bboxes)
+    state, out = tr.track(state, chunk)
+    assert np.isfinite(np.asarray(out["bbox"])).all()
+    # gate starts at sigmoid(0)=0.5: dyn = 0.5·static + 0.5·candidate ≠ static
+    assert np.abs(np.asarray(state.dyn_feats) - np.asarray(state.template_feats)).max() > 0

@@ -186,3 +186,20 @@ def test_optimizer_lr_inject_roundtrip():
     params = {"w": jnp.ones(3)}
     opt_state = tx.init(params)
     assert get_learning_rate(opt_state) == pytest.approx(1e-4)
+
+
+def test_dual_template_train_step():
+    """forward_dual trains end to end and the learned template gate moves."""
+    model = tiny_model()
+    tx = build_optimizer({"name": "adam", "lr": 1e-3})
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3), (1, 64, 64, 3))
+    step = make_train_step(model, tx, spec=SPEC, dual_template=True)
+    rng = np.random.RandomState(4)
+    batch = _toy_batch(rng, 8, SPEC)
+    batch[C.TRACKER_TARGET_AUX_IMAGE_KEY] = rng.rand(8, 32, 32, 3).astype(np.float32)
+    gate0 = float(np.asarray(state.params["template_gate"])[0])
+    state, m0 = step(state, batch)
+    for _ in range(8):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert float(np.asarray(state.params["template_gate"])[0]) != gate0
