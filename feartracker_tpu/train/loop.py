@@ -308,6 +308,15 @@ class Trainer:
             self.setup_data()
         if self.state is None:
             self.setup_state(self.config.get("seed", 0))
+        # elastic restart: resume the full train state (params, BN stats,
+        # optimizer, step) from the 'last' checkpoint when requested
+        # (the reference had no optimizer-state resume flow, SURVEY.md §5)
+        if self.config.get("resume", False):
+            try:
+                self.state = self.ckpt.restore_last(self.state)
+                logger.info("resumed from last checkpoint at step %d", int(self.state.step))
+            except Exception as e:
+                logger.info("no checkpoint to resume (%s); starting fresh", type(e).__name__)
 
         # sanity val: run a few real tracking sequences before training, so
         # a broken val path fails in seconds not hours

@@ -154,3 +154,17 @@ def test_checkpoint_restore_roundtrip(tiny_config):
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(trainer.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(trainer.state.step)
+
+
+def test_trainer_resume_from_last(tiny_config):
+    """resume=True restores the full train state and continues stepping."""
+    from feartracker_tpu.train.loop import Trainer
+
+    cfg = {**tiny_config, "experiment": {**tiny_config["experiment"], "name": "RESUME"}, "max_epochs": 1}
+    first = Trainer(cfg)
+    first.fit()
+    steps_before = int(first.state.step)
+
+    resumed = Trainer({**cfg, "resume": True, "max_epochs": 1})
+    resumed.fit()
+    assert int(resumed.state.step) == steps_before * 2  # continued, not restarted
