@@ -65,3 +65,28 @@ def test_boxes_stay_in_frame(tracked_boxes):
     assert (b[:, 0] >= 0).all() and (b[:, 1] >= 0).all()
     assert (b[:, 0] + b[:, 2] <= 480).all()
     assert (b[:, 1] + b[:, 3] <= 256).all()
+
+
+# smooth-mode (penalty/window/size-smoothing) golden trajectory, first 14
+# updates — BASELINE config 2
+GOLDEN_SMOOTH = [
+    [161, 58, 46, 169], [163, 60, 47, 166], [163, 58, 49, 166], [165, 55, 48, 168],
+    [165, 55, 48, 168], [169, 54, 46, 168], [168, 54, 45, 167], [167, 59, 44, 163],
+    [167, 56, 44, 164], [163, 59, 43, 162], [163, 60, 42, 160], [157, 54, 42, 162],
+    [157, 57, 42, 161], [155, 62, 41, 156],
+]
+
+
+@needs_assets
+def test_golden_trajectory_smooth_mode():
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.tracker import FEARTracker
+    from feartracker_tpu.utils.video import read_video
+
+    video = read_video(VIDEO, max_frames=15)
+    tracker = FEARTracker(FEARNet(), load_fear_xs(TRACKER_ML), TrackerConfig(smooth=True))
+    tracker.initialize(video[0], np.array([163, 53, 45, 174]))
+    boxes = [list(map(int, tracker.update(video[i])["bbox"])) for i in range(1, 15)]
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(GOLDEN_SMOOTH), atol=2)
