@@ -162,6 +162,23 @@ class Trainer:
             (1, ts, ts, 3),
             (1, ins, ins, 3),
         )
+        # warm-start from recovered FEAR-XS weights — the analog of the
+        # reference's pretrained backbone (config/model/fear.yaml:5); BN
+        # arrives folded-identity and re-adapts during training
+        pretrained = self.config.get("model", {}).get("pretrained_weights")
+        if pretrained:
+            from feartracker_tpu.convert.fear_weights import load_fear_xs
+
+            loaded = load_fear_xs(
+                pretrained,
+                channels=int(self.config.get("model", {}).get("adjust_channels", 256)),
+                towernum=int(self.config.get("model", {}).get("towernum", 2)),
+            )
+            self.state = self.state._replace(
+                params=jax.tree.map(jnp.asarray, loaded["params"]),
+                batch_stats=jax.tree.map(jnp.asarray, loaded["batch_stats"]),
+            )
+            logger.info("initialized from pretrained weights: %s", pretrained)
 
     def _loader(self) -> BatchLoader:
         # one loader for the whole fit: its internal epoch counter drives the
