@@ -61,14 +61,23 @@ def _set_path(cfg: Dict[str, Any], dotted: str, value: Any) -> None:
     ``train.datasets.0.root=...``)."""
     parts = dotted.split(".")
     cur: Any = cfg
+
+    def list_index(seg: str, lst: list):
+        if not seg.isdigit() or int(seg) >= len(lst):
+            raise KeyError(
+                f"override path not found: {dotted!r} (segment {seg!r} must be a "
+                f"list index < {len(lst)})"
+            )
+        return int(seg)
+
     for p in parts[:-1]:
         if isinstance(cur, list):
-            cur = cur[int(p)]
+            cur = cur[list_index(p, cur)]
         else:
             cur = cur.setdefault(p, {})
     last = parts[-1]
     if isinstance(cur, list):
-        cur[int(last)] = value
+        cur[list_index(last, cur)] = value
     else:
         cur[last] = value
 

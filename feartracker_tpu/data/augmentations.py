@@ -66,23 +66,25 @@ class Compose:
 
 
 class PairedCompose:
-    """Apply each transform with ONE parameter draw to a pair of images
-    (template, search) — ref: siam_dataset.py:64-67."""
+    """Apply each transform with ONE parameter draw to a group of images
+    (template, search[, aux]) — ref: siam_dataset.py:64-67."""
 
     def __init__(self, transforms: Sequence[Transform]):
         self.transforms = list(transforms)
 
-    def __call__(self, a: np.ndarray, b: np.ndarray, rng: np.random.RandomState):
+    def __call__(self, *args):
+        *images, rng = args
+        images = list(images)
         for t in self.transforms:
             if isinstance(t, OneOf):
                 if rng.rand() < t.p and t.transforms:
                     inner = t.transforms[rng.randint(len(t.transforms))]
-                    params = inner.sample_params(rng, a)
-                    a, b = inner.apply(a, params), inner.apply(b, params)
+                    params = inner.sample_params(rng, images[0])
+                    images = [inner.apply(im, params) for im in images]
             elif rng.rand() < t.p:
-                params = t.sample_params(rng, a)
-                a, b = t.apply(a, params), t.apply(b, params)
-        return a, b
+                params = t.sample_params(rng, images[0])
+                images = [t.apply(im, params) for im in images]
+        return tuple(images)
 
 
 def _u8(x: np.ndarray) -> np.ndarray:

@@ -144,14 +144,28 @@ class SiameseTrackingDataset:
         search_crop, search_bbox = self._search_transform(search_image, search_bbox, rng)
         aux = None
         if self.dynamic_template:
-            aux_item = self.item_sampler.extract_sample(idx, rng=rng)["search"]
+            # nearby-frame auxiliary template; must contain the object —
+            # retry on presence==0 rows (negative_ratio datasets), fall back
+            # to the template frame itself
+            aux_item = None
+            for _ in range(4):
+                cand = self.item_sampler.extract_sample(idx, rng=rng)["search"]
+                if int(cand["presence"]) == 1:
+                    aux_item = cand
+                    break
+            if aux_item is None:
+                aux_item = template_item
             aux_image = read_img(os.path.join(self.root, aux_item["img_path"]))
             aux_bbox = ensure_bbox_boundaries(
                 np.asarray(ast.literal_eval(str(aux_item["bbox"]))), aux_image.shape[:2]
             )
             aux, aux_bbox = self._template_transform(aux_image, aux_bbox)
-        # shared-parameter color augs on the pair (ref: siam_dataset.py:36,64-67)
-        template_crop, search_crop = self.paired_color(template_crop, search_crop, rng)
+        # shared-parameter color augs across the group (ref: siam_dataset.py:36,64-67)
+        if aux is None:
+            template_crop, search_crop = self.paired_color(template_crop, search_crop, rng)
+        else:
+            template_crop, search_crop, aux = self.paired_color(template_crop, search_crop, aux, rng)
+            aux = self.photometric(aux, rng)
         # independent photometric augs (ref: tracking_dataset.py:170-175)
         template_crop = self.photometric(template_crop, rng)
         search_crop = self.photometric(search_crop, rng)
@@ -188,7 +202,6 @@ class SiameseTrackingDataset:
         }
         if aux is not None:
             item[C.TRACKER_TARGET_AUX_IMAGE_KEY] = _normalize(aux)
-            item[C.TRACKER_TARGET_AUX_BBOX_KEY] = aux_bbox.astype(np.float32)
         return item
 
 

@@ -88,14 +88,18 @@ class BatchLoader:
             return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    if not put(collate(items)):
-                        return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        if not put(collate(items)):
+                            return
+            except BaseException as e:  # surface worker errors to the consumer
+                put(e)                   # (a dead producer would deadlock q.get)
+                return
             put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -105,6 +109,8 @@ class BatchLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -88,6 +88,8 @@ class ScanTracker:
         # "ema": dyn <- (1-r)·dyn + r·candidate; "gated": paper-style learned
         # interpolation of the STATIC template with the candidate, using the
         # trained sigmoid(template_gate) (models/fear_net.forward_dual)
+        if update_mode not in ("ema", "gated"):
+            raise ValueError(f"update_mode must be 'ema' or 'gated', got {update_mode!r}")
         self.update_mode = update_mode
         self.dtype = dtype
         # weights ride as jit arguments (device arrays), not baked constants

@@ -41,13 +41,19 @@ class CheckpointManager:
         self.save_last = save_last
         self._last_dir = os.path.join(self.directory, "last")
 
-    def save(self, step: int, state, monitor: float) -> None:
-        self._mgr.save(
-            step,
-            args=ocp.args.StandardSave(jax.tree.map(np.asarray, state._asdict())),
-            metrics={"monitor": float(monitor)},
-        )
-        self._mgr.wait_until_finished()
+    def has_last(self) -> bool:
+        return os.path.exists(os.path.join(self._last_dir, "state"))
+
+    def save(self, step: int, state, monitor: Optional[float]) -> None:
+        """Save 'last' always; enter the managed top-k ranking only when a
+        monitored metric is available for this step."""
+        if monitor is not None:
+            self._mgr.save(
+                step,
+                args=ocp.args.StandardSave(jax.tree.map(np.asarray, state._asdict())),
+                metrics={"monitor": float(monitor)},
+            )
+            self._mgr.wait_until_finished()
         if self.save_last:
             ckptr = ocp.StandardCheckpointer()
             path = os.path.join(self._last_dir, "state")

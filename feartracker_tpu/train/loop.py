@@ -143,6 +143,12 @@ class Trainer:
         return self._writer
 
     def setup_data(self) -> None:
+        if self.config.get("dual_template", False):
+            # dual-template training needs every dataset to emit the aux
+            # template crop; propagate the flag so a partial config can't
+            # produce aux-less batches (KeyError at the first step)
+            for ds_cfg in self.config.get("train", {}).get("datasets", []):
+                ds_cfg["dynamic_template"] = True
         self.train_dataset = get_training_datasets(self.config, seed=self.config.get("seed", 0))
         self.val_datasets = get_sequence_datasets(self.config.get("val", {}).get("datasets", []))
         logger.info(
@@ -167,6 +173,12 @@ class Trainer:
         # arrives folded-identity and re-adapts during training
         pretrained = self.config.get("model", {}).get("pretrained_weights")
         if pretrained:
+            name = self.config.get("model", {}).get("name", "fear_xs")
+            if name != "fear_xs":
+                raise ValueError(
+                    f"pretrained_weights are FEAR-XS shaped; model.name={name!r} "
+                    f"has a different trunk — drop pretrained_weights or use fear_xs"
+                )
             from feartracker_tpu.convert.fear_weights import load_fear_xs
 
             loaded = load_fear_xs(
@@ -329,11 +341,13 @@ class Trainer:
         # optimizer, step) from the 'last' checkpoint when requested
         # (the reference had no optimizer-state resume flow, SURVEY.md §5)
         if self.config.get("resume", False):
-            try:
+            if self.ckpt.has_last():
+                # no exception swallowing: a corrupt/incompatible checkpoint
+                # must fail loudly, not silently retrain from scratch
                 self.state = self.ckpt.restore_last(self.state)
                 logger.info("resumed from last checkpoint at step %d", int(self.state.step))
-            except Exception as e:
-                logger.info("no checkpoint to resume (%s); starting fresh", type(e).__name__)
+            else:
+                logger.info("no checkpoint to resume at %s; starting fresh", self.ckpt.directory)
 
         # sanity val: run a few real tracking sequences before training, so
         # a broken val path fails in seconds not hours
@@ -352,19 +366,32 @@ class Trainer:
         for epoch in range(max_epochs):
             train_metrics = self.train_epoch(epoch)
             val_metrics = self.validate(epoch) if (epoch + 1) % val_every == 0 else {}
-            monitor = val_metrics.get("box_iou", train_metrics.get("box_iou", 0.0))
             logger.info("epoch %d done: train %s valid %s", epoch, train_metrics, val_metrics)
 
-            lr = get_learning_rate(self.state.opt_state)
-            new_lr = self.plateau.update(monitor, lr)
-            if new_lr != lr:
-                logger.info("plateau: lr %.2e -> %.2e", lr, new_lr)
-                self.state = self.state._replace(
-                    opt_state=set_learning_rate(self.state.opt_state, new_lr)
-                )
-            self.ckpt.save(epoch, self.state, monitor)
+            # the monitored metric is val box_iou; train box_iou stands in
+            # ONLY when there is no val data at all — never mix the two
+            # (they are incommensurable and would corrupt plateau/early-stop/
+            # best-checkpoint decisions on val-skipped epochs)
+            if val_metrics:
+                monitor = val_metrics["box_iou"]
+            elif not self.val_datasets:
+                monitor = train_metrics.get("box_iou", 0.0)
+            else:
+                monitor = None
 
-            if self.early_stopping.update(monitor) and epoch + 1 >= min_epochs:
+            if monitor is not None:
+                lr = get_learning_rate(self.state.opt_state)
+                new_lr = self.plateau.update(monitor, lr)
+                if new_lr != lr:
+                    logger.info("plateau: lr %.2e -> %.2e", lr, new_lr)
+                    self.state = self.state._replace(
+                        opt_state=set_learning_rate(self.state.opt_state, new_lr)
+                    )
+            # checkpoint ids are GLOBAL steps so a resumed run never collides
+            # with pre-crash ids (Orbax silently ignores saves at existing ids)
+            self.ckpt.save(int(self.state.step), self.state, monitor)
+
+            if monitor is not None and self.early_stopping.update(monitor) and epoch + 1 >= min_epochs:
                 logger.info("early stopping at epoch %d (best %.4f)", epoch, self.early_stopping.best)
                 break
             self.train_dataset.resample()

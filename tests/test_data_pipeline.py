@@ -154,7 +154,6 @@ def test_dynamic_template_emits_aux(csv_dataset):
     ds = SiameseTrackingDataset(cfg, {"score_size": 16, "total_stride": 16}, seed=4)
     item = ds[0]
     assert item[C.TRACKER_TARGET_AUX_IMAGE_KEY].shape == (128, 128, 3)
-    assert item[C.TRACKER_TARGET_AUX_BBOX_KEY].shape == (4,)
     # loader stacks it
     from feartracker_tpu.data.loader import BatchLoader
 
