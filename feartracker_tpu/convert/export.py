@@ -19,12 +19,9 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from feartracker_tpu.models.fear_net import FEARNet
 from feartracker_tpu.utils.constants import (
-    IMAGENET_MEAN,
-    IMAGENET_STD,
     TARGET_CLASSIFICATION_KEY,
     TARGET_REGRESSION_LABEL_KEY,
 )

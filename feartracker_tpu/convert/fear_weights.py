@@ -14,7 +14,7 @@ loudly instead of silently mis-assigning weights.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -14,7 +14,7 @@ This module is schema-free: it decodes the tag/wire-type stream into nested
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
 

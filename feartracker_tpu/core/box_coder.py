@@ -10,7 +10,7 @@ device. Maps are channel-last ``(..., H, W, C)`` to match the NHWC model.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

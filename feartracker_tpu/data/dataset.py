@@ -10,10 +10,9 @@ via numpy (encode is closed-form math).
 
 from __future__ import annotations
 
-import os
 import ast
-import random
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+import os
+from typing import Any, Dict, Optional, Sequence
 
 import cv2
 import numpy as np

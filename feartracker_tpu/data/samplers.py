@@ -19,7 +19,6 @@ Semantics preserved:
 from __future__ import annotations
 
 import math
-import random
 from typing import Any, Dict, List, Optional
 
 import numpy as np

@@ -34,7 +34,6 @@ def cmd_macs(args) -> None:
 
 
 def cmd_fps(args) -> None:
-    import jax
     import jax.numpy as jnp
 
     from feartracker_tpu.evaluate import fps as F

@@ -7,7 +7,7 @@ README.md:55-58) — here the numbers come from the compiled HLO itself.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

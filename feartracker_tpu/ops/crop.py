@@ -19,7 +19,7 @@ the op is scan- and vmap-friendly (SURVEY.md §7 "dynamic shapes").
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

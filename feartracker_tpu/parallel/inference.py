@@ -12,8 +12,6 @@ many chips).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

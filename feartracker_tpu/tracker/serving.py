@@ -18,7 +18,7 @@ scatter ops) — shapes never change, so nothing ever recompiles.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ inside the same graph, on device.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -30,7 +29,6 @@ from feartracker_tpu.models.fear_net import FEARNet
 from feartracker_tpu.parallel.mesh import DATA_AXIS
 from feartracker_tpu.train.loss import fear_loss
 from feartracker_tpu.utils.constants import (
-    DATASET_NAME_KEY,
     TARGET_CLASSIFICATION_KEY,
     TARGET_REGRESSION_LABEL_KEY,
     TARGET_VISIBILITY_KEY,
