@@ -82,6 +82,8 @@ def crop_resize_normalize(
         raise RuntimeError(f"native crop engine unavailable: {_build_error}")
     image = np.ascontiguousarray(image, np.uint8)
     H, W, C = image.shape
+    if C != 3:
+        raise ValueError(f"native crop engine supports RGB (C=3) only, got C={C}")
     out = np.empty((out_size, out_size, C), np.float32)
     mean = _NO_NORM_MEAN if mean is None else np.asarray(mean, np.float32)
     inv_std = _NO_NORM_STD if std is None else (1.0 / np.asarray(std, np.float32)).astype(np.float32)
@@ -111,6 +113,8 @@ def crop_resize_normalize_batch(
         raise RuntimeError(f"native crop engine unavailable: {_build_error}")
     images = np.ascontiguousarray(images, np.uint8)
     N, H, W, C = images.shape
+    if C != 3:
+        raise ValueError(f"native crop engine supports RGB (C=3) only, got C={C}")
     out = np.empty((N, out_size, out_size, C), np.float32)
     mean = _NO_NORM_MEAN if mean is None else np.asarray(mean, np.float32)
     inv_std = _NO_NORM_STD if std is None else (1.0 / np.asarray(std, np.float32)).astype(np.float32)

@@ -25,62 +25,88 @@
 
 namespace {
 
-inline void sample_row(const uint8_t* img, int H, int W, int C, int yi,
-                       const int* x0, const float* fx, const float* pad,
-                       bool y_inside, int out_size, float* row_a, float* row_b) {
-  // Gather one source row (y = yi) bilinearly along x for all out pixels.
-  // row_a = (1-fx)*img[yi,x0] ; row_b = fx*img[yi,x0+1]; pad outside.
+// Horizontally resample one source row (y = yi) into a packed C=3 float row:
+// row[j*3+c] = (1-fx)*img[yi,x0] + fx*img[yi,x0+1], pad color outside.
+inline void hresample_row3(const uint8_t* img, int H, int W, int yi,
+                           const int* x0, const float* fx, const float* pad,
+                           bool y_inside, int out_size, float* __restrict__ row) {
+  if (!y_inside) {
+    for (int j = 0; j < out_size; ++j) {
+      row[j * 3 + 0] = pad[0];
+      row[j * 3 + 1] = pad[1];
+      row[j * 3 + 2] = pad[2];
+    }
+    return;
+  }
+  const uint8_t* base = img + static_cast<size_t>(yi) * W * 3;
   for (int j = 0; j < out_size; ++j) {
     const int xa = x0[j];
     const int xb = xa + 1;
-    const float wxa = 1.0f - fx[j];
-    const float wxb = fx[j];
-    const bool xa_in = y_inside && xa >= 0 && xa < W;
-    const bool xb_in = y_inside && xb >= 0 && xb < W;
-    const uint8_t* pa = img + (static_cast<size_t>(yi) * W + xa) * C;
-    const uint8_t* pb = img + (static_cast<size_t>(yi) * W + xb) * C;
-    for (int c = 0; c < C; ++c) {
-      row_a[j * C + c] = wxa * (xa_in ? static_cast<float>(pa[c]) : pad[c]);
-      row_b[j * C + c] = wxb * (xb_in ? static_cast<float>(pb[c]) : pad[c]);
+    const float wb = fx[j];
+    const float wa = 1.0f - wb;
+    const bool a_in = xa >= 0 && xa < W;
+    const bool b_in = xb >= 0 && xb < W;
+    const uint8_t* pa = base + xa * 3;
+    const uint8_t* pb = base + xb * 3;
+    for (int c = 0; c < 3; ++c) {
+      const float va = a_in ? static_cast<float>(pa[c]) : pad[c];
+      const float vb = b_in ? static_cast<float>(pb[c]) : pad[c];
+      row[j * 3 + c] = wa * va + wb * vb;
     }
   }
 }
 
+// Row-cached separable bilinear: horizontal resample each needed source row
+// once (consecutive outputs share rows when downscaling ≤2× or upscaling),
+// then blend vertically — ~3× fewer horizontal passes than the naive form.
 void crop_one(const uint8_t* img, int H, int W, int C, const float* window,
               int out_size, const float* pad, const float* mean,
               const float* inv_std, float* out) {
   const float wx = window[0], wy = window[1], ww = window[2], wh = window[3];
+  const float x_lo = wx, x_hi = wx + ww - 1.0f;
+  const float y_lo = wy, y_hi = wy + wh - 1.0f;
   std::vector<int> x0(out_size);
   std::vector<float> fx(out_size);
   for (int j = 0; j < out_size; ++j) {
-    const float sx = wx + (j + 0.5f) * ww / out_size - 0.5f;
+    float sx = wx + (j + 0.5f) * ww / out_size - 0.5f;
+    sx = std::min(std::max(sx, x_lo), x_hi);  // window edge replicate (cv2)
     const float fl = std::floor(sx);
     x0[j] = static_cast<int>(fl);
     fx[j] = sx - fl;
   }
-  std::vector<float> row_a(static_cast<size_t>(out_size) * C);
-  std::vector<float> row_b(static_cast<size_t>(out_size) * C);
-  std::vector<float> row_a2(static_cast<size_t>(out_size) * C);
-  std::vector<float> row_b2(static_cast<size_t>(out_size) * C);
+  (void)C;  // RGB only; enforced by the Python binding
+  std::vector<float> rowA(static_cast<size_t>(out_size) * 3);
+  std::vector<float> rowB(static_cast<size_t>(out_size) * 3);
+  int cachedA = INT32_MIN, cachedB = INT32_MIN;
+  float* bufA = rowA.data();
+  float* bufB = rowB.data();
 
   for (int i = 0; i < out_size; ++i) {
-    const float sy = wy + (i + 0.5f) * wh / out_size - 0.5f;
+    float sy = wy + (i + 0.5f) * wh / out_size - 0.5f;
+    sy = std::min(std::max(sy, y_lo), y_hi);
     const float fl = std::floor(sy);
     const int ya = static_cast<int>(fl);
     const int yb = ya + 1;
     const float fy = sy - fl;
-    const bool ya_in = ya >= 0 && ya < H;
-    const bool yb_in = yb >= 0 && yb < H;
-    sample_row(img, H, W, C, ya_in ? ya : 0, x0.data(), fx.data(), pad, ya_in,
-               out_size, row_a.data(), row_b.data());
-    sample_row(img, H, W, C, yb_in ? yb : 0, x0.data(), fx.data(), pad, yb_in,
-               out_size, row_a2.data(), row_b2.data());
-    float* dst = out + static_cast<size_t>(i) * out_size * C;
-    for (int j = 0; j < out_size * C; ++j) {
-      const float top = row_a[j] + row_b[j];
-      const float bot = row_a2[j] + row_b2[j];
-      const float v = top * (1.0f - fy) + bot * fy;
-      const int c = j % C;
+    if (ya == cachedB) {  // reuse: previous bottom row becomes top row
+      std::swap(bufA, bufB);
+      std::swap(cachedA, cachedB);
+    }
+    if (cachedA != ya) {
+      hresample_row3(img, H, W, ya, x0.data(), fx.data(), pad, ya >= 0 && ya < H,
+                     out_size, bufA);
+      cachedA = ya;
+    }
+    if (cachedB != yb) {
+      hresample_row3(img, H, W, yb, x0.data(), fx.data(), pad, yb >= 0 && yb < H,
+                     out_size, bufB);
+      cachedB = yb;
+    }
+    float* __restrict__ dst = out + static_cast<size_t>(i) * out_size * 3;
+    const float wtop = 1.0f - fy;
+    for (int j = 0; j < out_size * 3; ++j) {
+      const float v = wtop * bufA[j] + fy * bufB[j];
+      const int c = j % 3;
       dst[j] = (v - mean[c]) * inv_std[c];
     }
   }
