@@ -16,7 +16,6 @@ its paper claims ≈205 FPS on iPhone 11).
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -52,7 +51,14 @@ def main() -> None:
     )
 
     model = FEARNet(dtype=jnp.bfloat16)
-    variables = load_fear_xs(TRACKER_ML)
+    try:
+        variables = load_fear_xs(TRACKER_ML)
+    except Exception:  # reference mount absent: random weights, same compute
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            (jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 256, 256, 3))),
+            train=False,
+        )
     tracker = ScanTracker(model, variables, dtype=jnp.bfloat16, postprocess_impl="pallas")
 
     bboxes = jnp.asarray(np.tile(np.array([[163, 53, 45, 174]], np.float32), (STREAMS, 1)))
