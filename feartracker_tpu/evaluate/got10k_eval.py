@@ -64,3 +64,69 @@ def summarize(seq_overlaps: Sequence[np.ndarray], seq_names: Sequence[str]) -> D
         "per_sequence": {name: float(ao) for name, ao in zip(seq_names, per_seq_ao)},
         "num_sequences": len(seq_overlaps),
     }
+
+
+def ope_metrics(
+    pred_boxes: Sequence[np.ndarray], gt_boxes: Sequence[np.ndarray]
+) -> Dict[str, Any]:
+    """Standard OPE success/precision metrics over per-sequence (N, 4) xywh
+    trajectories: success AUC (mean success rate over IoU thresholds
+    0..1 step .05) and precision at 20px center error."""
+    from feartracker_tpu.core.geometry import overlap_xywh_np
+
+    thresholds = np.arange(0, 1.05, 0.05)
+    success_curves, precisions = [], []
+    for pred, gt in zip(pred_boxes, gt_boxes):
+        pred = np.asarray(pred, np.float64)
+        gt = np.asarray(gt, np.float64)
+        ov = overlap_xywh_np(pred, gt)
+        success_curves.append([(ov > t).mean() for t in thresholds])
+        pc = pred[:, :2] + pred[:, 2:] / 2
+        gc = gt[:, :2] + gt[:, 2:] / 2
+        err = np.linalg.norm(pc - gc, axis=1)
+        precisions.append((err <= 20).mean())
+    curve = np.mean(success_curves, axis=0) if success_curves else np.zeros_like(thresholds)
+    return {
+        "success_auc": float(curve.mean()),
+        "success_curve": curve.tolist(),
+        "precision_20px": float(np.mean(precisions)) if precisions else 0.0,
+    }
+
+
+def write_got10k_submission(
+    tracker,
+    dataset: SequenceDataset,
+    out_dir: str,
+    max_frames: Optional[int] = None,
+    verbose: bool = False,
+) -> str:
+    """Write GOT-10k evaluation-server submission files: one directory per
+    sequence containing ``<seq>_001.txt`` (x,y,w,h per frame, frame 0 = the
+    given init box) and ``<seq>_time.txt`` (per-frame seconds). The test
+    split's groundtruth has only the init row, so scoring happens server-side
+    — this writer is how real GOT-10k test numbers are produced."""
+    import os
+    import time as _time
+
+    os.makedirs(out_dir, exist_ok=True)
+    for s in range(len(dataset)):
+        files, anno, _ = dataset[s]
+        name = dataset.sequence_name(s)
+        n = min(len(files), max_frames or len(files))
+        seq_dir = os.path.join(out_dir, name)
+        os.makedirs(seq_dir, exist_ok=True)
+        init = np.asarray(anno[0], np.float64)
+        tracker.initialize(read_img(files[0]), init.astype(int))
+        boxes = [init]
+        times = [0.0]
+        for i in range(1, n):
+            t0 = _time.time()
+            boxes.append(np.asarray(tracker.update(read_img(files[i]))["bbox"], np.float64))
+            times.append(_time.time() - t0)
+        with open(os.path.join(seq_dir, f"{name}_001.txt"), "w") as fh:
+            fh.write("\n".join(",".join(f"{v:.4f}" for v in b) for b in boxes))
+        with open(os.path.join(seq_dir, f"{name}_time.txt"), "w") as fh:
+            fh.write("\n".join(f"{t:.6f}" for t in times))
+        if verbose:
+            print(f"  wrote {name}: {len(boxes)} boxes")
+    return out_dir

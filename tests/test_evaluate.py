@@ -75,3 +75,57 @@ def test_flops_counting_tiny_model():
     assert cost["flops"] > 0
     assert cost["params"] == count_params(variables["params"])
     assert cost["macs"] == cost["flops"] / 2
+
+
+def test_ope_metrics():
+    from feartracker_tpu.evaluate.got10k_eval import ope_metrics
+
+    gt = [np.array([[10.0, 10, 20, 20], [30, 30, 20, 20]])]
+    # perfect predictions
+    res = ope_metrics(gt, gt)
+    assert res["precision_20px"] == 1.0
+    assert res["success_auc"] == pytest.approx(np.mean(np.arange(0, 1.05, 0.05) < 1.0), abs=0.05)
+    # far predictions
+    far = [np.array([[200.0, 200, 20, 20], [250, 250, 20, 20]])]
+    res2 = ope_metrics(far, gt)
+    assert res2["precision_20px"] == 0.0
+    assert res2["success_auc"] < 0.1
+
+
+def test_got10k_submission_writer(tmp_path):
+    from feartracker_tpu.evaluate.got10k_eval import write_got10k_submission
+
+    class DummyDataset:
+        def __init__(self, root):
+            import cv2
+
+            self.files = []
+            for i in range(3):
+                p = str(tmp_path / f"f{i}.jpg")
+                cv2.imwrite(p, np.full((40, 50, 3), 100, np.uint8))
+                self.files.append(p)
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return self.files, np.array([[5.0, 5, 10, 10]]), "dummy"
+
+        def sequence_name(self, i):
+            return "seq_a"
+
+    class DummyTracker:
+        def initialize(self, img, box):
+            self.box = list(box)
+
+        def update(self, img):
+            self.box = [self.box[0] + 1, self.box[1], self.box[2], self.box[3]]
+            return {"bbox": self.box}
+
+    out = write_got10k_submission(DummyTracker(), DummyDataset(tmp_path), str(tmp_path / "sub"))
+    lines = open(os.path.join(out, "seq_a", "seq_a_001.txt")).read().strip().split("\n")
+    assert len(lines) == 3
+    assert lines[0].startswith("5.0000,5.0000")
+    assert lines[1].startswith("6.0000,5.0000")
+    times = open(os.path.join(out, "seq_a", "seq_a_time.txt")).read().strip().split("\n")
+    assert len(times) == 3
