@@ -87,6 +87,16 @@ def cmd_got10k(args) -> None:
         res = batched_evaluate(
             tracker, dataset, streams=args.streams, max_frames=args.max_frames, verbose=True
         )
+    elif args.submit_dir:
+        from feartracker_tpu.evaluate.got10k_eval import write_got10k_submission
+        from feartracker_tpu.tracker.tracker import FEARTracker
+
+        model, variables = _load(args.weights_path)
+        tracker = FEARTracker(model, variables, cfg)
+        out = write_got10k_submission(
+            tracker, dataset, args.submit_dir, max_frames=args.max_frames, verbose=True
+        )
+        res = {"submission_dir": out, "num_sequences": len(dataset)}
     else:
         from feartracker_tpu.evaluate.got10k_eval import evaluate_tracker
         from feartracker_tpu.tracker.tracker import FEARTracker
@@ -121,6 +131,7 @@ def main() -> None:
     gp.add_argument("--smooth", action="store_true")
     gp.add_argument("--batched", action="store_true", help="multi-stream scan runtime")
     gp.add_argument("--streams", type=int, default=64)
+    gp.add_argument("--submit_dir", default=None, help="write GOT-10k server submission files here")
 
     args = p.parse_args()
     {"macs": cmd_macs, "fps": cmd_fps, "got10k": cmd_got10k}[args.cmd](args)
