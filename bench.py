@@ -16,14 +16,16 @@ its paper claims ≈205 FPS on iPhone 11).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-WARMUP_CALLS = 20
-TIMED_CALLS = 100
-STREAMS = 128
-CHUNK = 32
+# protocol constants (env-overridable for quick operator runs)
+WARMUP_CALLS = int(os.environ.get("BENCH_WARMUP", 20))
+TIMED_CALLS = int(os.environ.get("BENCH_TIMED", 100))
+STREAMS = int(os.environ.get("BENCH_STREAMS", 128))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 32))
 BASELINE_FPS = 1000.0
 
 TRACKER_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"

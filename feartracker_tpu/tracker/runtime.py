@@ -155,6 +155,8 @@ class ScanTracker:
                 out[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
                 cfg.postprocess,
                 prev_size=prev_size,
+                # Mosaic kernels only compile on TPU; CPU runs interpreted
+                interpret=jax.default_backend() == "cpu",
             )
         else:
             res = pp.postprocess(

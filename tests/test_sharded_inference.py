@@ -78,3 +78,17 @@ def test_gated_update_mode():
     assert np.isfinite(np.asarray(out["bbox"])).all()
     # gate starts at sigmoid(0)=0.5: dyn = 0.5·static + 0.5·candidate ≠ static
     assert np.abs(np.asarray(state.dyn_feats) - np.asarray(state.template_feats)).max() > 0
+
+
+def test_pallas_postprocess_on_cpu_interprets():
+    """postprocess_impl='pallas' must run on CPU too (interpret mode)."""
+    model, variables, frames0, chunk, bboxes = _setup()
+    tr = ScanTracker(model, variables, CFG, postprocess_impl="pallas")
+    state = tr.init(frames0, bboxes)
+    state, out = tr.track(state, chunk[:2])
+    ref = ScanTracker(model, variables, CFG)
+    rstate = ref.init(frames0, bboxes)
+    rstate, rout = ref.track(rstate, chunk[:2])
+    np.testing.assert_allclose(
+        np.asarray(out["bbox"]), np.asarray(rout["bbox"]), atol=1e-2
+    )
