@@ -55,7 +55,9 @@ def main() -> None:
     model = FEARNet(dtype=jnp.bfloat16)
     try:
         variables = load_fear_xs(TRACKER_ML)
-    except Exception:  # reference mount absent: random weights, same compute
+    except Exception as e:  # reference mount absent: random weights, same compute
+        print(f"[bench] WARNING: could not load FEAR-XS weights ({e!r}); "
+              f"benchmarking with random weights", file=__import__("sys").stderr)
         variables = model.init(
             jax.random.PRNGKey(0),
             (jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 256, 256, 3))),
@@ -66,7 +68,8 @@ def main() -> None:
     bboxes = jnp.asarray(np.tile(np.array([[163, 53, 45, 174]], np.float32), (STREAMS, 1)))
     state = tracker.init(frames0, bboxes)
 
-    for _ in range(WARMUP_CALLS):
+    outs = None
+    for _ in range(max(WARMUP_CALLS, 1)):  # ≥1 so `outs` is always bound
         state, outs = tracker.track(state, chunk)
     np.asarray(outs["bbox"][-1])  # full device sync
 
@@ -82,7 +85,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "FEAR-XS tracked FPS/chip (128 streams, on-device scan)",
+                "metric": f"FEAR-XS tracked FPS/chip ({STREAMS} streams, on-device scan)",
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),

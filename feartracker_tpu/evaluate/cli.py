@@ -76,6 +76,8 @@ def cmd_got10k(args) -> None:
 
     dataset = GOT10kDataset(args.root, subset=args.subset)
     cfg = TrackerConfig(smooth=args.smooth)
+    if args.batched and args.submit_dir:
+        raise SystemExit("--submit_dir requires the sequential tracker; drop --batched")
     if args.batched:
         import jax.numpy as jnp
 

@@ -25,6 +25,22 @@ def _overlap(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.asarray(box_iou_xywh(jnp.asarray(pred, jnp.float32), jnp.asarray(gt, jnp.float32)))
 
 
+def run_sequence(tracker, files, init_box, n: int, with_times: bool = False):
+    """Shared per-sequence trajectory loop: initialize on frame 0, update
+    through frame n-1. Returns (boxes (n,4) float64, times (n,) seconds)."""
+    import time as _time
+
+    init = np.asarray(init_box, np.float64)
+    tracker.initialize(read_img(files[0]), init)
+    preds = [init]
+    times = [0.0]
+    for i in range(1, n):
+        t0 = _time.time()
+        preds.append(np.asarray(tracker.update(read_img(files[i]))["bbox"], np.float64))
+        times.append(_time.time() - t0 if with_times else 0.0)
+    return np.stack(preds), np.asarray(times)
+
+
 def evaluate_tracker(
     tracker,
     dataset: SequenceDataset,
@@ -43,11 +59,8 @@ def evaluate_tracker(
             continue
         if max_frames:
             n = min(n, max_frames)
-        tracker.initialize(read_img(files[0]), np.asarray(anno[0], int))
-        preds = [np.asarray(anno[0], np.float64)]
-        for i in range(1, n):
-            preds.append(np.asarray(tracker.update(read_img(files[i]))["bbox"], np.float64))
-        ov = _overlap(np.stack(preds[1:]), np.asarray(anno[1:n], np.float64))
+        preds, _ = run_sequence(tracker, files, anno[0], n)
+        ov = _overlap(preds[1:], np.asarray(anno[1:n], np.float64))
         seq_overlaps.append(ov)
         seq_names.append(dataset.sequence_name(s))
         if verbose:
@@ -106,7 +119,6 @@ def write_got10k_submission(
     split's groundtruth has only the init row, so scoring happens server-side
     — this writer is how real GOT-10k test numbers are produced."""
     import os
-    import time as _time
 
     os.makedirs(out_dir, exist_ok=True)
     for s in range(len(dataset)):
@@ -115,14 +127,7 @@ def write_got10k_submission(
         n = min(len(files), max_frames or len(files))
         seq_dir = os.path.join(out_dir, name)
         os.makedirs(seq_dir, exist_ok=True)
-        init = np.asarray(anno[0], np.float64)
-        tracker.initialize(read_img(files[0]), init.astype(int))
-        boxes = [init]
-        times = [0.0]
-        for i in range(1, n):
-            t0 = _time.time()
-            boxes.append(np.asarray(tracker.update(read_img(files[i]))["bbox"], np.float64))
-            times.append(_time.time() - t0)
+        boxes, times = run_sequence(tracker, files, anno[0], n, with_times=True)
         with open(os.path.join(seq_dir, f"{name}_001.txt"), "w") as fh:
             fh.write("\n".join(",".join(f"{v:.4f}" for v in b) for b in boxes))
         with open(os.path.join(seq_dir, f"{name}_time.txt"), "w") as fh:

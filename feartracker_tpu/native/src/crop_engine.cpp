@@ -122,6 +122,7 @@ void crop_resize_normalize(const uint8_t* img, int H, int W, int C,
                            const float* window, int out_size, const float* pad,
                            const float* mean, const float* inv_std,
                            float* out) {
+  if (C != 3) return;  // RGB-only ABI; non-3 would corrupt memory
   crop_one(img, H, W, C, window, out_size, pad, mean, inv_std, out);
 }
 
@@ -131,6 +132,7 @@ void crop_resize_normalize_batch(const uint8_t* imgs, int N, int H, int W,
                                  const float* pads, const float* mean,
                                  const float* inv_std, float* out,
                                  int num_threads) {
+  if (C != 3) return;  // RGB-only ABI; non-3 would corrupt memory
   const size_t img_stride = static_cast<size_t>(H) * W * C;
   const size_t out_stride = static_cast<size_t>(out_size) * out_size * C;
   std::atomic<int> next(0);

@@ -155,8 +155,8 @@ class ScanTracker:
                 out[TARGET_REGRESSION_LABEL_KEY].astype(jnp.float32),
                 cfg.postprocess,
                 prev_size=prev_size,
-                # Mosaic kernels only compile on TPU; CPU runs interpreted
-                interpret=jax.default_backend() == "cpu",
+                # Mosaic kernels only compile on TPU; elsewhere run interpreted
+                interpret=jax.default_backend() != "tpu",
             )
         else:
             res = pp.postprocess(
@@ -213,5 +213,9 @@ class ScanTracker:
         return self._step_jit(self.variables, state, jnp.asarray(frames))
 
     def track(self, state: StreamState, frames) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
-        """A chunk of frames (T, S, H, W, 3), scanned on device."""
+        """A chunk of frames (T, S, H, W, 3), scanned on device.
+
+        NOTE: ``state`` is DONATED — its buffers are invalid afterwards.
+        Always rebind: ``state, out = tracker.track(state, frames)``.
+        """
         return self._track_jit(self.variables, state, jnp.asarray(frames))

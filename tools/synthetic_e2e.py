@@ -14,7 +14,8 @@ import argparse
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--root", default="/tmp/synth", help="dataset root from make_synthetic_dataset.py")
 _ap.add_argument("--exp", default="/tmp/synth_exp")
-ROOT = _ap.parse_args().root
+_args = _ap.parse_args()
+ROOT = _args.root
 config = {
     "platform": "cpu", "num_devices": 1, "sync_bn": False, "precision": "float32",
     "seed": 0,
@@ -29,7 +30,7 @@ config = {
     "num_workers": 2, "max_epochs": 30, "min_epochs": 5, "early_stopping": 30,
     "metric_mode": "max", "max_val_samples": 24, "log_every_n_steps": 16,
     "save_top_k": 2, "sanity_steps": 1, "check_val_every_n_epoch": 5,
-    "experiment": {"folder": _ap.parse_args().exp, "name": "SYNTH"},
+    "experiment": {"folder": _args.exp, "name": "SYNTH"},
     "train": {"datasets": [{
         "name": "synthetic", "root": ROOT,
         "sizes": {"search_image_size": 64, "template_image_size": 32, "search_context": 2,
