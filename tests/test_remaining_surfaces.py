@@ -1,0 +1,112 @@
+"""Coverage for remaining user surfaces: LaSOT/NfS sequence loaders, tracker
+reset/re-init, augmentation determinism, protobuf parser robustness."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+
+def _img(path, size=(40, 50)):
+    cv2.imwrite(path, np.full((*size, 3), 90, np.uint8))
+
+
+def test_lasot_layout(tmp_path):
+    from feartracker_tpu.data.sequence import LaSOTDataset
+
+    seq = tmp_path / "cat" / "cat-1"
+    (seq / "img").mkdir(parents=True)
+    for i in range(3):
+        _img(str(seq / "img" / f"{i+1:08d}.jpg"))
+    (seq / "groundtruth.txt").write_text("1,2,10,12\n2,3,10,12\n3,4,10,12")
+    ds = LaSOTDataset(str(tmp_path))
+    assert len(ds) == 1
+    files, anno, name = ds[0]
+    assert name == "lasot" and len(files) == 3
+    np.testing.assert_array_equal(anno[1], [2, 3, 10, 12])
+
+
+def test_nfs_layout(tmp_path):
+    from feartracker_tpu.data.sequence import NfSDataset
+
+    seq = tmp_path / "ball"
+    img_dir = seq / "30" / "ball"
+    img_dir.mkdir(parents=True)
+    for i in range(2):
+        _img(str(img_dir / f"{i+1:05d}.jpg"))
+    # NfS rows: frame x1 y1 x2 y2 ...
+    (seq / "30" / "ball.txt").write_text("1 5 6 15 26 0\n2 6 7 16 27 0")
+    ds = NfSDataset(str(tmp_path))
+    assert len(ds) == 1
+    files, anno, name = ds[0]
+    assert name == "nfs"
+    np.testing.assert_array_equal(anno[0], [5, 6, 10, 20])  # xyxy→xywh
+
+
+def test_tracker_reset_and_reinit():
+    import jax
+    import jax.numpy as jnp
+
+    from feartracker_tpu.models.fbnet import TINY_TRUNK
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    model = FEARNet(trunk_blocks=TINY_TRUNK, adjust_channels=16, towernum=1)
+    variables = model.init(
+        jax.random.PRNGKey(0), (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 64, 64, 3))), train=False
+    )
+    cfg = TrackerConfig(score_size=8, total_stride=8, instance_size=64, template_size=32)
+    tracker = FEARTracker(model, variables, cfg)
+    frame = np.random.RandomState(0).randint(0, 255, (96, 128, 3), np.uint8)
+    tracker.initialize(frame, np.array([40, 30, 30, 40]))
+    tracker.update(frame)
+    tracker.reset()  # iOS-style failure reset (ref: VOTracker.swift:98-103)
+    with pytest.raises(AssertionError):
+        tracker.update(frame)
+    tracker.initialize(frame, np.array([10, 10, 20, 20]))  # re-init works
+    out = tracker.update(frame)
+    assert "bbox" in out and "confidence" in out
+
+
+def test_paired_augs_deterministic_and_shared():
+    from feartracker_tpu.data.augmentations import RGBShift, PairedCompose, tracking_augmentations
+
+    rng1 = np.random.RandomState(7)
+    rng2 = np.random.RandomState(7)
+    a = np.full((16, 16, 3), 100, np.uint8)
+    b = np.full((16, 16, 3), 150, np.uint8)
+    pipe = tracking_augmentations()
+    o1 = pipe(a, b, rng1)
+    o2 = pipe(a, b, rng2)
+    for x, y in zip(o1, o2):
+        np.testing.assert_array_equal(x, y)  # seeded determinism
+
+    # shared params: the same shift applied to both images
+    shift = RGBShift(p=1.0)
+    pc = PairedCompose([shift])
+    oa, ob = pc(a, b, np.random.RandomState(1))
+    np.testing.assert_array_equal(oa.astype(int) - 100, ob.astype(int) - 150)
+
+
+def test_protowire_truncated_buffer():
+    from feartracker_tpu.convert import protowire as pw
+
+    # length-delimited field promising more bytes than exist
+    buf = bytes([0x0A, 0xFF, 0x01]) + b"xy"
+    fields = pw.parse(buf)  # truncated payload is sliced short, not crash
+    assert fields[0].number == 1
+    # invalid wire type raises cleanly
+    with pytest.raises(ValueError):
+        pw.parse(bytes([0x0B]))  # wire type 3 (group) unsupported
+
+
+def test_parse_mlmodel_rejects_non_nn(tmp_path):
+    from feartracker_tpu.convert.coreml import parse_mlmodel
+
+    # a valid protobuf with no field-500 submessage
+    p = tmp_path / "x.mlmodel"
+    p.write_bytes(bytes([0x08, 0x04]))  # field 1 varint 4
+    with pytest.raises(ValueError, match="no neuralNetwork"):
+        parse_mlmodel(str(p))
