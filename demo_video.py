@@ -43,6 +43,26 @@ def track(tracker, frames, initial_bbox: np.ndarray) -> List[np.ndarray]:
     return tracked
 
 
+def track_scan(weights_path, frames, initial_bbox, smooth=False, dynamic_template=False, chunk=32):
+    """Single video through the on-device scan runtime (S=1)."""
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.runtime import ScanTracker
+
+    model = FEARNet()
+    tracker = ScanTracker(
+        model, load_fear_xs(weights_path), TrackerConfig(smooth=smooth),
+        dynamic_template=dynamic_template,
+    )
+    state = tracker.init(frames[0][None], np.asarray(initial_bbox, np.float32)[None])
+    tracked = [np.asarray(initial_bbox)]
+    for t0 in range(1, len(frames), chunk):
+        state, out = tracker.track(state, frames[t0 : t0 + chunk][:, None])
+        tracked.extend(np.asarray(out["bbox"])[:, 0])
+    return tracked
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--initial_bbox", type=int, nargs=4, default=[163, 53, 45, 174])
@@ -52,13 +72,24 @@ def main() -> None:
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--smooth", action="store_true", help="penalty-window decode + size smoothing")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
+    p.add_argument("--runtime", choices=["host", "scan"], default="host",
+                   help="host = reference-API tracker; scan = on-device lax.scan runtime")
+    p.add_argument("--dynamic_template", action="store_true", help="dual-template update (scan runtime)")
     args = p.parse_args()
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from feartracker_tpu.utils.video import draw_bbox, read_video, video_fps, write_video
 
-    tracker = get_tracker(args.weights_path, smooth=args.smooth, platform=args.platform)
     frames = read_video(args.video_path, max_frames=args.max_frames)
-    bboxes = track(tracker, frames, np.array(args.initial_bbox))
+    if args.runtime == "scan":
+        bboxes = track_scan(args.weights_path, frames, np.array(args.initial_bbox),
+                            smooth=args.smooth, dynamic_template=args.dynamic_template)
+    else:
+        tracker = get_tracker(args.weights_path, smooth=args.smooth)
+        bboxes = track(tracker, frames, np.array(args.initial_bbox))
 
     os.makedirs(os.path.dirname(args.output_path) or ".", exist_ok=True)
     write_video(args.output_path, [draw_bbox(f, b) for f, b in zip(frames, bboxes)], fps=video_fps(args.video_path))
