@@ -38,10 +38,18 @@ class ShardedScanTracker(ScanTracker):
     def _shard_state(self, state: StreamState) -> StreamState:
         return jax.tree.map(lambda x: jax.device_put(x, self._stream_sharding), state)
 
-    def init(self, frames, bboxes) -> StreamState:
+    def init(self, frames, bboxes, mean_color=None) -> StreamState:
+        """Same contract as ScanTracker.init: ``mean_color`` (S, 3) overrides
+        the pad color — letterboxed callers (evaluate/batched_eval.py) must
+        pass the mean of the real image region, not the letterboxed frame."""
         frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)
         bboxes = jax.device_put(jax.numpy.asarray(bboxes), self._stream_sharding)
-        return self._init_jit(self.variables, frames, bboxes)
+        mc = None
+        if mean_color is not None:
+            mc = jax.device_put(
+                jax.numpy.asarray(mean_color, jax.numpy.float32), self._stream_sharding
+            )
+        return self._init_jit(self.variables, frames, bboxes, mc)
 
     def step(self, state: StreamState, frames):
         frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)

@@ -19,8 +19,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
-    devices = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None, axis: str = DATA_AXIS, devices=None
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
