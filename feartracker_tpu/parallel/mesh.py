@@ -41,6 +41,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
-    """Device-put a pytree of (B, ...) arrays with B split over the mesh."""
+    """Device-put a pytree of (B, ...) arrays with B split over the mesh.
+
+    Single process: plain sharded ``device_put``. Multi-host (the mesh spans
+    processes): each process contributes its LOCAL batch as its shard of the
+    global array via ``jax.make_array_from_process_local_data`` — the global
+    batch is ``local_B × process_count`` and per-host loaders must feed
+    disjoint data (see parallel/multihost.py and data/loader.py host_id).
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

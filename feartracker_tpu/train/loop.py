@@ -23,6 +23,7 @@ from feartracker_tpu.data.dataset import ConcatDataset, get_training_datasets, r
 from feartracker_tpu.data.loader import BatchLoader
 from feartracker_tpu.data.sequence import get_sequence_datasets
 from feartracker_tpu.models.fear_net import FEARNet
+from feartracker_tpu.parallel import multihost
 from feartracker_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
 from feartracker_tpu.tracker.config import TrackerConfig
 from feartracker_tpu.tracker.tracker import FEARTracker
@@ -53,13 +54,35 @@ _DEVICE_KEYS = (
 )
 
 
+class _NullWriter:
+    """No-op TB writer for non-master hosts."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_image(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     def __init__(self, config: Dict[str, Any]):
         self.config = config
         if config.get("platform"):
             jax.config.update("jax_platforms", config["platform"])
 
-        n_dev = int(config.get("num_devices", 1))
+        # multi-host: one process per host, global mesh over every chip of
+        # the slice (≙ the reference's DDP backend configs, SURVEY.md §2.3)
+        dist_cfg = config.get("distributed") or {}
+        if dist_cfg.get("enabled"):
+            multihost.initialize(dist_cfg)
+        self.is_master = multihost.is_master()
+
+        n_dev = int(config.get("num_devices", 0)) or (
+            len(jax.devices()) if dist_cfg.get("enabled") else 1
+        )
         self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         sync_bn = bool(config.get("sync_bn", False)) and self.mesh is not None
 
@@ -137,9 +160,14 @@ class Trainer:
     @property
     def writer(self):
         if self._writer is None:
-            from tensorboardX import SummaryWriter
+            if not self.is_master:
+                # non-master hosts compute identical val metrics (to keep
+                # plateau/early-stop decisions in sync) but never write
+                self._writer = _NullWriter()
+            else:
+                from tensorboardX import SummaryWriter
 
-            self._writer = SummaryWriter(os.path.join(self.exp_dir, "logs"))
+                self._writer = SummaryWriter(os.path.join(self.exp_dir, "logs"))
         return self._writer
 
     def setup_data(self) -> None:
@@ -197,11 +225,16 @@ class Trainer:
         # per-epoch reshuffle (a fresh loader every epoch would replay the
         # same permutation)
         if not hasattr(self, "_loader_cache"):
+            # per-host disjoint shard of the dataset (≙ DistributedSampler,
+            # ref base_lightning_model.py:113-116); batch_size is PER HOST —
+            # the global batch seen by the train step is batch_size × hosts
             self._loader_cache = BatchLoader(
                 self.train_dataset,
                 batch_size=self.batch_size,
                 num_workers=int(self.config.get("num_workers", 2)),
                 seed=int(self.config.get("seed", 0)),
+                host_id=multihost.process_index(),
+                num_hosts=multihost.process_count(),
             )
         return self._loader_cache
 
@@ -388,8 +421,11 @@ class Trainer:
                         opt_state=set_learning_rate(self.state.opt_state, new_lr)
                     )
             # checkpoint ids are GLOBAL steps so a resumed run never collides
-            # with pre-crash ids (Orbax silently ignores saves at existing ids)
-            self.ckpt.save(int(self.state.step), self.state, monitor)
+            # with pre-crash ids (Orbax silently ignores saves at existing ids).
+            # DP state is fully replicated, so master alone writes it
+            # (≙ ref rank-0 checkpointing under Lightning DDP)
+            if self.is_master:
+                self.ckpt.save(int(self.state.step), self.state, monitor)
 
             if monitor is not None and self.early_stopping.update(monitor) and epoch + 1 >= min_epochs:
                 logger.info("early stopping at epoch %d (best %.4f)", epoch, self.early_stopping.best)
