@@ -151,11 +151,45 @@ class VOTDataset(SequenceDataset):
             self._sequences.append((os.path.basename(seq_dir), files, anno))
 
 
+class TrackingNetDataset(SequenceDataset):
+    """TrackingNet layout: root/{TRAIN_0..TRAIN_11, TEST}/ each holding
+    ``frames/{seq}/{N}.jpg`` (numerically ordered) + ``anno/{seq}.txt``
+    (xywh per line; TEST carries only the init row)."""
+
+    name = "trackingnet"
+
+    def __init__(self, root_dir: str, subset: str = "test"):
+        super().__init__()
+        if subset.lower() == "test":
+            chunks = ["TEST"]
+        else:
+            chunks = sorted(
+                os.path.basename(d)
+                for d in glob.glob(os.path.join(root_dir, "TRAIN_*"))
+                if os.path.isdir(d)
+            )
+        for chunk in chunks:
+            frames_root = os.path.join(root_dir, chunk, "frames")
+            anno_root = os.path.join(root_dir, chunk, "anno")
+            for seq_dir in sorted(glob.glob(os.path.join(frames_root, "*"))):
+                if not os.path.isdir(seq_dir):
+                    continue
+                seq = os.path.basename(seq_dir)
+                anno_path = os.path.join(anno_root, f"{seq}.txt")
+                files = glob.glob(os.path.join(seq_dir, "*.jpg"))
+                if not files or not os.path.exists(anno_path):
+                    continue
+                # frame names are bare integers — numeric sort, not lexical
+                files.sort(key=lambda p: int(os.path.splitext(os.path.basename(p))[0]))
+                self._sequences.append((seq, files, _read_gt(anno_path)[:, :4]))
+
+
 DATASET_REGISTRY = {
     "got10k": GOT10kDataset,
     "lasot": LaSOTDataset,
     "nfs": NfSDataset,
     "vot": VOTDataset,
+    "trackingnet": TrackingNetDataset,
 }
 
 
@@ -171,7 +205,7 @@ def get_sequence_datasets(val_config: Sequence[dict]) -> List[SequenceDataset]:
             print(f"[data] skipping val dataset {name!r}: {root} not found")
             continue
         kwargs = {}
-        if name == "got10k" and "subset" in cfg:
+        if name in ("got10k", "trackingnet") and "subset" in cfg:
             kwargs["subset"] = cfg["subset"]
         if name == "vot" and "version" in cfg:
             kwargs["version"] = int(cfg["version"])

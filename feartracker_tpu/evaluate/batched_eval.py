@@ -66,10 +66,19 @@ def batched_evaluate(
     if skipped and verbose:
         print(f"  skipping {skipped} sequences with <2 annotated frames")
 
+    # sharded trackers need the stream axis divisible by the mesh: pad short
+    # groups by repeating the last sequence; padded streams are tracked but
+    # never scored
+    mesh = getattr(tracker, "mesh", None)
+    divisor = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+
     for g0 in range(0, len(scorable), streams):
         idxs = scorable[g0 : g0 + streams]
-        S = len(idxs)
+        S = len(idxs)  # scored streams; anything past S is padding
+        pad = (-S) % divisor
+        idxs = idxs + [idxs[-1]] * pad
         seqs = [dataset[i] for i in idxs]  # (files, anno, name)
+        ST = len(seqs)  # tracked streams = S scored + pad
         lengths = [
             min(len(f), len(a), max_frames or 10**9) for f, a, _ in seqs
         ]
@@ -83,24 +92,24 @@ def batched_evaluate(
 
         # init; pad color = mean of the real image region, not the
         # letterbox bars (parity with ref fear_tracker.py:27)
-        first = [letterbox(read_img(seqs[i][0][0]), frame_hw) for i in range(S)]
+        first = [letterbox(read_img(seqs[i][0][0]), frame_hw) for i in range(ST)]
         frames0 = np.stack([f for f, _, _ in first])
         scales = np.array([s for _, s, _ in first])
         mean_colors = np.stack([
             frames0[i][: first[i][2][0], : first[i][2][1]].astype(np.float64).mean(axis=(0, 1))
-            for i in range(S)
+            for i in range(ST)
         ]).astype(np.float32)
-        bb0 = np.stack([np.asarray(seqs[i][1][0], np.float64) * scales[i] for i in range(S)]).astype(np.float32)
+        bb0 = np.stack([np.asarray(seqs[i][1][0], np.float64) * scales[i] for i in range(ST)]).astype(np.float32)
         state = tracker.init(frames0, bb0, mean_color=mean_colors)
 
         preds = [[np.asarray(seqs[i][1][0], np.float64)] for i in range(S)]
         t = 1
         while t < max_len:
             n = min(chunk, max_len - t)
-            flat = list(pool.map(load, [(i, t + k) for k in range(n) for i in range(S)]))
-            frames = np.stack([f for f, _ in flat]).reshape(n, S, *frame_hw, 3)
+            flat = list(pool.map(load, [(i, t + k) for k in range(n) for i in range(ST)]))
+            frames = np.stack([f for f, _ in flat]).reshape(n, ST, *frame_hw, 3)
             state, out = tracker.track(state, frames)
-            bboxes = np.asarray(out["bbox"])  # (n, S, 4)
+            bboxes = np.asarray(out["bbox"])  # (n, ST, 4)
             for k in range(n):
                 for i in range(S):
                     if t + k < lengths[i]:

@@ -34,6 +34,23 @@ def _rss_mb() -> float:
     return 0.0
 
 
+def _device_memory_mb() -> Dict[str, float]:
+    """Accelerator HBM usage (bytes_in_use / peak) of the default device —
+    the TPU analog of the Swift harness's per-call device telemetry
+    (Event.swift:19-31). Zeros when the backend exposes no memory_stats
+    (e.g. CPU)."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        return {
+            "device_mem_mb": stats.get("bytes_in_use", 0) / 2**20,
+            "device_peak_mb": stats.get("peak_bytes_in_use", 0) / 2**20,
+        }
+    except Exception:
+        return {"device_mem_mb": 0.0, "device_peak_mb": 0.0}
+
+
 class Telemetry:
     def __init__(self, csv_path: Optional[str] = None):
         self.rows: List[Dict[str, Any]] = []
@@ -45,6 +62,7 @@ class Telemetry:
                 "call": call_idx,
                 "duration_ms": duration_s * 1e3,
                 "rss_mb": _rss_mb(),
+                **_device_memory_mb(),
                 "timestamp": time.time(),
             }
         )

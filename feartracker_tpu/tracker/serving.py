@@ -8,9 +8,17 @@ of streams, so serving needs slot management on top of the scan runtime:
   * ``add(frame, bbox)``      — claim a slot, build its template on device
   * ``remove(slot)``          — release a slot
   * ``step(frames)``          — advance every active slot one frame
-  * auto re-init option       — a slot whose confidence drops below the
-    threshold re-templates from the current prediction (the on-device
-    analog of the iOS throw-and-reinitialize flow, VOTracker.swift:84-86)
+  * failure policy            — what happens when a slot's confidence drops
+    below the threshold:
+
+    - ``"notify"`` (default): the slot keeps tracking and the failure flag is
+      surfaced to the caller, who re-inits with a fresh (frame, bbox) — the
+      exact iOS contract (VOTracker.swift:84-86 throws to the caller;
+      FEARTrackingViewController.swift:98-103 resets the UI).
+    - ``"reinit"``: the slot re-templates itself from its current prediction.
+      CAUTION: if confidence collapsed because the box drifted off-target,
+      re-templating on the drifted box locks the failure in — use only when
+      no caller can supply ground truth (e.g. unattended bulk processing).
 
 All state lives in fixed-shape device arrays (slot updates are jitted
 scatter ops) — shapes never change, so nothing ever recompiles.
@@ -34,11 +42,17 @@ class StreamPool:
         capacity: int,
         frame_hw,
         auto_reinit: bool = False,
+        failure_policy: str = None,
     ):
         self.tracker = tracker
         self.capacity = capacity
         self.frame_hw = tuple(frame_hw)
-        self.auto_reinit = auto_reinit
+        # failure_policy wins; auto_reinit=True is the legacy spelling of "reinit"
+        policy = failure_policy or ("reinit" if auto_reinit else "notify")
+        if policy not in ("notify", "reinit"):
+            raise ValueError(f"failure_policy must be 'notify' or 'reinit', got {policy!r}")
+        self.failure_policy = policy
+        self.auto_reinit = policy == "reinit"
         self.active = np.zeros(capacity, bool)
         self._free: List[int] = list(range(capacity))
 

@@ -52,6 +52,36 @@ def test_letterbox_scales_and_pads():
     assert canvas[40:, :].max() == 0  # pad region
 
 
+def test_sharded_batched_eval_equals_single_device(synthetic_got10k):
+    """BASELINE config 4 on the mesh: ShardedScanTracker (streams over 4 CPU
+    devices, groups padded to mesh size) scores identically to the
+    single-device ScanTracker."""
+    from feartracker_tpu.parallel.inference import ShardedScanTracker
+    from feartracker_tpu.parallel.mesh import make_mesh
+
+    model = FEARNet(trunk_blocks=TINY_TRUNK, adjust_channels=16, towernum=1)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 64, 64, 3))),
+        train=False,
+    )
+    cfg = TrackerConfig(score_size=8, total_stride=8, instance_size=64, template_size=32)
+    dataset = GOT10kDataset(synthetic_got10k, subset="val")
+
+    single = batched_evaluate(
+        ScanTracker(model, variables, cfg), dataset, streams=2, frame_hw=(96, 128), chunk=4
+    )
+    sharded_tracker = ShardedScanTracker(model, variables, cfg, mesh=make_mesh(4))
+    # streams=3 forces a 3-sequence group padded to 4 (mesh divisibility)
+    sharded = batched_evaluate(
+        sharded_tracker, dataset, streams=3, frame_hw=(96, 128), chunk=4
+    )
+    assert sharded["num_sequences"] == single["num_sequences"] == 3
+    for name, ov in single["per_sequence"].items():
+        np.testing.assert_allclose(sharded["per_sequence"][name], ov, atol=1e-5)
+    assert sharded["ao"] == pytest.approx(single["ao"], abs=1e-5)
+
+
 def test_batched_evaluate_runs(synthetic_got10k):
     model = FEARNet(trunk_blocks=TINY_TRUNK, adjust_channels=16, towernum=1)
     variables = model.init(

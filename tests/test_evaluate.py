@@ -21,7 +21,11 @@ def test_fps_benchmark_counts_and_csv(tmp_path):
     assert calls["n"] == 13
     assert res["fps"] > 0 and res["mean_ms"] >= 0
     assert os.path.exists(csv_path)
-    assert len(open(csv_path).readlines()) == 11  # header + 10 rows
+    lines = open(csv_path).readlines()
+    assert len(lines) == 11  # header + 10 rows
+    # host + device memory telemetry columns (Swift harness analog)
+    header = lines[0].strip().split(",")
+    assert {"rss_mb", "device_mem_mb", "device_peak_mb"} <= set(header)
 
 
 def test_online_benchmark_drop_accounting():

@@ -27,6 +27,29 @@ def test_lasot_layout(tmp_path):
     np.testing.assert_array_equal(anno[1], [2, 3, 10, 12])
 
 
+def test_trackingnet_layout(tmp_path):
+    from feartracker_tpu.data.sequence import TrackingNetDataset
+
+    for chunk, seqs in [("TRAIN_0", ["a", "b"]), ("TEST", ["t"])]:
+        for seq in seqs:
+            frames = tmp_path / chunk / "frames" / seq
+            frames.mkdir(parents=True)
+            # bare-integer frame names where numeric and lexical order differ
+            for i in [0, 1, 2, 10]:
+                _img(str(frames / f"{i}.jpg"))
+            anno = tmp_path / chunk / "anno"
+            anno.mkdir(exist_ok=True)
+            (anno / f"{seq}.txt").write_text("1,2,10,12\n2,3,10,12\n3,4,10,12\n4,5,10,12")
+    train = TrackingNetDataset(str(tmp_path), subset="train")
+    test = TrackingNetDataset(str(tmp_path), subset="test")
+    assert len(train) == 2 and len(test) == 1
+    files, anno, name = train[0]
+    assert name == "trackingnet" and len(files) == 4
+    # numeric frame order: 10.jpg sorts last, not after 1.jpg
+    assert [os.path.basename(f) for f in files] == ["0.jpg", "1.jpg", "2.jpg", "10.jpg"]
+    np.testing.assert_array_equal(anno[1], [2, 3, 10, 12])
+
+
 def test_nfs_layout(tmp_path):
     from feartracker_tpu.data.sequence import NfSDataset
 

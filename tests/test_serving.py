@@ -64,6 +64,32 @@ def test_pool_capacity_guard(tracker):
         pool.add(f, [5, 5, 10, 10])
 
 
+def test_failure_policy_selectable(tracker):
+    """'notify' (default, iOS contract) surfaces the failure and leaves the
+    template untouched; 'reinit' re-templates from the current prediction."""
+    rng = np.random.RandomState(3)
+    f = _frames(rng)[0]
+
+    notify = StreamPool(tracker, capacity=1, frame_hw=HW)  # default policy
+    assert notify.failure_policy == "notify" and not notify.auto_reinit
+    reinit = StreamPool(tracker, capacity=1, frame_hw=HW, failure_policy="reinit")
+    assert reinit.auto_reinit
+    legacy = StreamPool(tracker, capacity=1, frame_hw=HW, auto_reinit=True)
+    assert legacy.failure_policy == "reinit"
+    with pytest.raises(ValueError):
+        StreamPool(tracker, capacity=1, frame_hw=HW, failure_policy="panic")
+
+    for pool, retemplates in [(notify, False), (reinit, True)]:
+        pool.add(f, [40, 30, 30, 40])
+        before = np.asarray(pool.state.template_feats).copy()
+        # blank frames collapse confidence below the threshold -> failure
+        out = pool.step(np.zeros((1, *HW, 3), np.float32))
+        assert out["failure"][0]
+        after = np.asarray(pool.state.template_feats)
+        changed = not np.allclose(before, after)
+        assert changed == retemplates
+
+
 def test_pool_matches_dedicated_stream(tracker):
     """A slot tracked through the pool must produce the same trajectory as a
     1-stream ScanTracker with the same inputs."""
