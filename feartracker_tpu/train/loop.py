@@ -240,13 +240,15 @@ class Trainer:
 
     # -- epochs ------------------------------------------------------------
 
+    def _steps_per_epoch(self) -> int:
+        n = len(self._loader())
+        limit = self.config.get("train_percent")
+        return max(1, min(n, int(limit))) if limit else n
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         assert self.state is not None
-        limit = self.config.get("train_percent")
         loader = self._loader()
-        n_batches = len(loader)
-        if limit:
-            n_batches = max(1, min(n_batches, int(limit)))
+        n_batches = self._steps_per_epoch()
         log_every = int(self.config.get("log_every_n_steps", 50))
         self.miner.reset()
         dataset_sums = DatasetAwareSums.zeros(len(self._dataset_names()))
@@ -373,12 +375,25 @@ class Trainer:
         # elastic restart: resume the full train state (params, BN stats,
         # optimizer, step) from the 'last' checkpoint when requested
         # (the reference had no optimizer-state resume flow, SURVEY.md §5)
+        start_epoch = 0
         if self.config.get("resume", False):
             if self.ckpt.has_last():
                 # no exception swallowing: a corrupt/incompatible checkpoint
                 # must fail loudly, not silently retrain from scratch
                 self.state = self.ckpt.restore_last(self.state)
-                logger.info("resumed from last checkpoint at step %d", int(self.state.step))
+                # Lightning-faithful epoch resume: max_epochs is TOTAL epochs,
+                # and the epoch counter continues from the restored step
+                start_epoch = int(self.state.step) // max(self._steps_per_epoch(), 1)
+                logger.info(
+                    "resumed from last checkpoint at step %d (epoch %d)",
+                    int(self.state.step), start_epoch,
+                )
+                # replay per-epoch dataset state (resample permutations +
+                # frame-offset curriculum) and the loader's shuffle counter
+                for past in range(start_epoch):
+                    self.train_dataset.resample()
+                    self._update_frame_offset(past)
+                self._loader().epoch = start_epoch
             else:
                 logger.info("no checkpoint to resume at %s; starting fresh", self.ckpt.directory)
 
@@ -396,7 +411,7 @@ class Trainer:
         max_epochs = int(self.config.get("max_epochs", 150))
         min_epochs = int(self.config.get("min_epochs", 0))
         val_every = int(self.config.get("check_val_every_n_epoch", 1))  # (ref: trainer.py:69)
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             train_metrics = self.train_epoch(epoch)
             val_metrics = self.validate(epoch) if (epoch + 1) % val_every == 0 else {}
             logger.info("epoch %d done: train %s valid %s", epoch, train_metrics, val_metrics)

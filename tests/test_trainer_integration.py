@@ -157,7 +157,9 @@ def test_checkpoint_restore_roundtrip(tiny_config):
 
 
 def test_trainer_resume_from_last(tiny_config):
-    """resume=True restores the full train state and continues stepping."""
+    """resume=True restores the full train state AND the epoch counter:
+    max_epochs is total epochs (Lightning semantics), so a crashed 1-epoch
+    run resumed with max_epochs=2 trains exactly one more epoch."""
     from feartracker_tpu.train.loop import Trainer
 
     cfg = {**tiny_config, "experiment": {**tiny_config["experiment"], "name": "RESUME"}, "max_epochs": 1}
@@ -165,6 +167,11 @@ def test_trainer_resume_from_last(tiny_config):
     first.fit()
     steps_before = int(first.state.step)
 
-    resumed = Trainer({**cfg, "resume": True, "max_epochs": 1})
+    # same max_epochs -> already done, zero extra steps (epoch counter resumed)
+    noop = Trainer({**cfg, "resume": True, "max_epochs": 1})
+    noop.fit()
+    assert int(noop.state.step) == steps_before
+
+    resumed = Trainer({**cfg, "resume": True, "max_epochs": 2})
     resumed.fit()
     assert int(resumed.state.step) == steps_before * 2  # continued, not restarted

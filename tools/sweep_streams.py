@@ -1,0 +1,114 @@
+"""Stream-count (S) throughput sweep on the real chip, with variance control.
+
+Round-1 left a puzzle (VERDICT.md weak #1): S=128 -> 19.7-22.3k FPS but
+S=192 -> 15.1k, S=256 -> 18.3k — non-monotonic. Those were single runs
+through a tunnel with ~15% run-to-run drift. This tool measures properly:
+
+* per-call wall times, reported as median + IQR (not one mean);
+* S values interleaved round-robin across repeats so tunnel drift hits every
+  S equally;
+* inputs device-resident, sync via host fetch of the final bbox.
+
+Usage: python tools/sweep_streams.py --streams 64,128,160,192,256 \
+          --warmup 5 --timed 10 --repeats 3 [--profile-dir /tmp/trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRACKER_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", default="64,128,160,192,256")
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--timed", type=int, default=10, help="timed calls per repeat")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--profile-dir", default=None, help="jax.profiler trace for each S")
+    ap.add_argument("--memory", action="store_true", help="print compiled memory analysis")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.runtime import ScanTracker
+
+    s_values = [int(s) for s in args.streams.split(",")]
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = FEARNet(dtype=dtype)
+    variables = load_fear_xs(TRACKER_ML)
+    tracker = ScanTracker(model, variables, dtype=dtype, postprocess_impl="pallas")
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (256, 480, 3), np.uint8)
+    bbox = np.array([163, 53, 45, 174], np.float32)
+
+    # per-S persistent inputs/state (device-resident once)
+    setups = {}
+    for S in s_values:
+        frames0 = jnp.asarray(np.broadcast_to(frame, (S, 256, 480, 3)))
+        chunk = jnp.asarray(
+            rng.randint(0, 255, (args.chunk, 1, 256, 480, 3), np.uint8)
+        )
+        chunk = jnp.broadcast_to(chunk, (args.chunk, S, 256, 480, 3))
+        state = tracker.init(frames0, jnp.asarray(np.tile(bbox, (S, 1))))
+        # compile + warmup
+        for _ in range(args.warmup):
+            state, out = tracker.track(state, chunk)
+        np.asarray(out["bbox"][-1])
+        setups[S] = [state, chunk]
+        print(f"[setup] S={S} compiled+warm")
+
+    times: dict = {S: [] for S in s_values}
+    for rep in range(args.repeats):
+        for S in s_values:
+            state, chunk = setups[S]
+            t0 = time.time()
+            for _ in range(args.timed):
+                state, out = tracker.track(state, chunk)
+            np.asarray(out["bbox"][-1])  # sync
+            dt = (time.time() - t0) / args.timed
+            setups[S][0] = state
+            times[S].append(dt)
+            print(f"[rep {rep}] S={S}: {dt*1e3:.1f} ms/call -> "
+                  f"{S*args.chunk/dt:,.0f} FPS")
+
+    print("\n== summary (median over repeats) ==")
+    results = []
+    for S in s_values:
+        med = float(np.median(times[S]))
+        lo, hi = np.percentile(times[S], [25, 75])
+        fps = S * args.chunk / med
+        per_frame_us = med / (S * args.chunk) * 1e6
+        results.append({
+            "S": S, "ms_per_call_median": round(med * 1e3, 2),
+            "iqr_ms": [round(lo * 1e3, 2), round(hi * 1e3, 2)],
+            "fps": round(fps, 0), "us_per_frame": round(per_frame_us, 3),
+        })
+        print(json.dumps(results[-1]))
+
+    if args.profile_dir:
+        S = s_values[-1]
+        state, chunk = setups[S]
+        with jax.profiler.trace(args.profile_dir):
+            state, out = tracker.track(state, chunk)
+            np.asarray(out["bbox"][-1])
+        print(f"trace written to {args.profile_dir}")
+
+
+if __name__ == "__main__":
+    main()
