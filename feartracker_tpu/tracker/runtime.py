@@ -105,9 +105,14 @@ class ScanTracker:
 
     def _crop(self, frames, windows, out_size, mean_color):
         if self.crop_impl == "mm":
-            return jax.vmap(crop_resize_mm, (0, 0, None, 0))(
-                frames.astype(jnp.float32), windows, out_size, mean_color
-            )
+            # f32 resize math: XLA fuses the uint8→f32 frame cast into the
+            # contraction (measured: bf16 operators change neither bytes
+            # accessed nor wall time — the traffic lives in model
+            # activations), and f32 keeps the crop bit-comparable to the
+            # host/reference path.
+            return jax.vmap(
+                lambda f, w, m: crop_resize_mm(f, w, out_size, m, jnp.float32)
+            )(frames, windows, mean_color)
         return jax.vmap(crop_resize, (0, 0, None, 0))(
             frames.astype(jnp.float32), windows, out_size, mean_color
         )
@@ -137,10 +142,9 @@ class ScanTracker:
     def _step_impl(self, variables, state: StreamState, frames: jnp.ndarray) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         cfg = self.config
         H, W = frames.shape[1], frames.shape[2]
-        framesf = frames.astype(jnp.float32)
 
         windows = jax.vmap(extended_crop_window, (0, None))(state.bbox, cfg.search_context)
-        crops = self._crop(framesf, windows, cfg.instance_size, state.mean_color)
+        crops = self._crop(frames, windows, cfg.instance_size, state.mean_color)
         x = normalize_imagenet(crops).astype(self.dtype)
 
         update = state.dyn_feats if self.dynamic_template else None
@@ -170,7 +174,7 @@ class ScanTracker:
 
         dyn = state.dyn_feats
         if self.dynamic_template:
-            cand = self._template_features(variables, framesf, bbox, state.mean_color)
+            cand = self._template_features(variables, frames, bbox, state.mean_color)
             gate = (res.confidence > self.update_threshold)[:, None, None, None]
             if self.update_mode == "gated":
                 g = jax.nn.sigmoid(variables["params"]["template_gate"]).astype(dyn.dtype)

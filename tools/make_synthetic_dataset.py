@@ -83,13 +83,13 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
     return rows
 
 
-def generate(root, tracks=40, frames=24, val_sequences=8, seed=0):
+def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224)):
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
     rows = []
     for t in range(tracks):
-        rows += generate_track(rng, img_dir, f"track{t:04d}", frames)
+        rows += generate_track(rng, img_dir, f"track{t:04d}", frames, size=size)
     df = pd.DataFrame(rows)
     df["img_path"] = "images/" + df["img_path"]
     csv_path = os.path.join(root, "train.csv")
@@ -103,7 +103,7 @@ def generate(root, tracks=40, frames=24, val_sequences=8, seed=0):
         seq = f"GOT-10k_Val_{s:06d}"
         seq_dir = os.path.join(val_base, seq)
         os.makedirs(seq_dir, exist_ok=True)
-        vrows = generate_track(rng, seq_dir, seq, frames)
+        vrows = generate_track(rng, seq_dir, seq, frames, size=size)
         gt = []
         for i, r in enumerate(vrows):
             src = os.path.join(seq_dir, r["img_path"])
@@ -125,8 +125,11 @@ def main():
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--val_sequences", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--height", type=int, default=160)
+    p.add_argument("--width", type=int, default=224)
     args = p.parse_args()
-    csv_path = generate(args.root, args.tracks, args.frames, args.val_sequences, args.seed)
+    csv_path = generate(args.root, args.tracks, args.frames, args.val_sequences, args.seed,
+                    size=(args.height, args.width))
     print(f"wrote {csv_path} + val sequences under {args.root}/got10k/val")
 
 

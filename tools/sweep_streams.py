@@ -57,35 +57,36 @@ def main() -> None:
     frame = rng.randint(0, 255, (256, 480, 3), np.uint8)
     bbox = np.array([163, 53, 45, 174], np.float32)
 
-    # per-S persistent inputs/state (device-resident once)
-    setups = {}
-    for S in s_values:
+    def run_one(S: int, warm: int) -> list:
+        """Set up S streams (device-resident), warm, return per-repeat
+        ms/call. Inputs live only for this call — the full set of S values
+        does not fit HBM together (~28 GB of frames)."""
         frames0 = jnp.asarray(np.broadcast_to(frame, (S, 256, 480, 3)))
-        chunk = jnp.asarray(
-            rng.randint(0, 255, (args.chunk, 1, 256, 480, 3), np.uint8)
-        )
-        chunk = jnp.broadcast_to(chunk, (args.chunk, S, 256, 480, 3))
+        chunk_host = rng.randint(0, 255, (args.chunk, 1, 256, 480, 3), np.uint8)
+        chunk = jnp.asarray(np.broadcast_to(chunk_host, (args.chunk, S, 256, 480, 3)))
         state = tracker.init(frames0, jnp.asarray(np.tile(bbox, (S, 1))))
-        # compile + warmup
-        for _ in range(args.warmup):
+        out = None
+        for _ in range(warm):
             state, out = tracker.track(state, chunk)
         np.asarray(out["bbox"][-1])
-        setups[S] = [state, chunk]
-        print(f"[setup] S={S} compiled+warm")
-
-    times: dict = {S: [] for S in s_values}
-    for rep in range(args.repeats):
-        for S in s_values:
-            state, chunk = setups[S]
+        reps = []
+        for _ in range(args.repeats):
             t0 = time.time()
             for _ in range(args.timed):
                 state, out = tracker.track(state, chunk)
             np.asarray(out["bbox"][-1])  # sync
-            dt = (time.time() - t0) / args.timed
-            setups[S][0] = state
-            times[S].append(dt)
-            print(f"[rep {rep}] S={S}: {dt*1e3:.1f} ms/call -> "
-                  f"{S*args.chunk/dt:,.0f} FPS")
+            reps.append((time.time() - t0) / args.timed)
+        return reps
+
+    times: dict = {S: [] for S in s_values}
+    # two interleaved passes over all S so tunnel drift hits each S twice
+    for p in range(2):
+        for S in s_values:
+            reps = run_one(S, args.warmup if p == 0 else max(args.warmup // 2, 1))
+            times[S].extend(reps)
+            for dt in reps:
+                print(f"[pass {p}] S={S}: {dt*1e3:.1f} ms/call -> "
+                      f"{S*args.chunk/dt:,.0f} FPS", flush=True)
 
     print("\n== summary (median over repeats) ==")
     results = []
@@ -103,7 +104,16 @@ def main() -> None:
 
     if args.profile_dir:
         S = s_values[-1]
-        state, chunk = setups[S]
+        frames0 = jnp.asarray(np.broadcast_to(frame, (S, 256, 480, 3)))
+        chunk = jnp.asarray(
+            np.broadcast_to(
+                rng.randint(0, 255, (args.chunk, 1, 256, 480, 3), np.uint8),
+                (args.chunk, S, 256, 480, 3),
+            )
+        )
+        state = tracker.init(frames0, jnp.asarray(np.tile(bbox, (S, 1))))
+        state, out = tracker.track(state, chunk)  # warm
+        np.asarray(out["bbox"][-1])
         with jax.profiler.trace(args.profile_dir):
             state, out = tracker.track(state, chunk)
             np.asarray(out["bbox"][-1])
