@@ -38,6 +38,13 @@ def test_group_override():
     assert cfg["optimizer"]["momentum"] == 0.9
 
 
+def test_multihost_backend_composes():
+    cfg = load_config("fear_tracker", overrides=["backend=tpu_pod"])
+    assert cfg["distributed"]["enabled"] is True
+    assert cfg["num_devices"] == 0  # 0 = every chip jax.distributed exposes
+    assert cfg["sync_bn"] is True
+
+
 def test_dotted_value_override():
     cfg = load_config(
         "fear_tracker",
