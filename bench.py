@@ -33,41 +33,16 @@ VIDEO = "/root/reference/assets/test.mp4"
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from feartracker_tpu.convert.fear_weights import load_fear_xs
-    from feartracker_tpu.models.fear_net import FEARNet
-    from feartracker_tpu.tracker.runtime import ScanTracker
+    from feartracker_tpu.evaluate.harness import build_scan_tracker, synthetic_streams
     from feartracker_tpu.utils.video import read_video
 
     try:
         video = read_video(VIDEO, max_frames=CHUNK + 1)
     except Exception:
-        rng = np.random.RandomState(0)
-        video = rng.randint(0, 255, (CHUNK + 1, 256, 480, 3), dtype=np.uint8)
+        video = None  # reference mount absent: random frames, same compute
 
-    frames0 = jnp.asarray(np.broadcast_to(video[0], (STREAMS,) + video[0].shape))
-    chunk = jnp.asarray(
-        np.broadcast_to(video[1 : CHUNK + 1, None], (CHUNK, STREAMS) + video[0].shape)
-    )
-
-    model = FEARNet(dtype=jnp.bfloat16)
-    weights_provenance = "fear_xs"
-    try:
-        variables = load_fear_xs(TRACKER_ML)
-    except Exception as e:  # reference mount absent: random weights, same compute
-        print(f"[bench] WARNING: could not load FEAR-XS weights ({e!r}); "
-              f"benchmarking with random weights", file=__import__("sys").stderr)
-        weights_provenance = "random"
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            (jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 256, 256, 3))),
-            train=False,
-        )
-    tracker = ScanTracker(model, variables, dtype=jnp.bfloat16, postprocess_impl="pallas")
-
-    bboxes = jnp.asarray(np.tile(np.array([[163, 53, 45, 174]], np.float32), (STREAMS, 1)))
+    tracker, weights_provenance = build_scan_tracker(TRACKER_ML)
+    frames0, chunk, bboxes = synthetic_streams(STREAMS, CHUNK, video=video)
     state = tracker.init(frames0, bboxes)
 
     outs = None

@@ -55,6 +55,11 @@ class Telemetry:
     def __init__(self, csv_path: Optional[str] = None):
         self.rows: List[Dict[str, Any]] = []
         self.csv_path = csv_path
+        # device memory_stats() may be an RPC on remote backends (~100 ms
+        # through this env's tunnel) — never query it inside the timed loop.
+        # Snapshot once here and once in save(); the final row carries the
+        # end-of-run values (peak is monotone, so nothing is lost).
+        self._device_mem = _device_memory_mb()
 
     def record(self, call_idx: int, duration_s: float) -> None:
         self.rows.append(
@@ -62,7 +67,7 @@ class Telemetry:
                 "call": call_idx,
                 "duration_ms": duration_s * 1e3,
                 "rss_mb": _rss_mb(),
-                **_device_memory_mb(),
+                **self._device_mem,
                 "timestamp": time.time(),
             }
         )
@@ -70,6 +75,7 @@ class Telemetry:
     def save(self) -> None:
         if not self.csv_path or not self.rows:
             return
+        self.rows[-1].update(_device_memory_mb())
         os.makedirs(os.path.dirname(self.csv_path) or ".", exist_ok=True)
         with open(self.csv_path, "w", newline="") as fh:
             writer = csv.DictWriter(fh, fieldnames=list(self.rows[0]))

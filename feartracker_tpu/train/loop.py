@@ -54,6 +54,21 @@ _DEVICE_KEYS = (
 )
 
 
+def _host_local_rows(x) -> np.ndarray:
+    """Per-sample step output → this host's rows as numpy.
+
+    Single process: the whole array. Multi-host: step outputs with
+    ``P(DATA_AXIS)`` specs are GLOBAL batch arrays whose non-local shards
+    cannot be fetched — concatenate only the addressable shards (this host's
+    contribution, in global order, which preserves local batch order under
+    ``make_array_from_process_local_data``).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 class _NullWriter:
     """No-op TB writer for non-master hosts."""
 
@@ -269,14 +284,23 @@ class Trainer:
             for k, v in scalars.items():
                 sums[k] = sums.get(k, 0.0) + v
             count += 1
+            # per-sample outputs are GLOBAL batch arrays in multi-host; keep
+            # only this host's rows (matches the host-local ``batch``). The
+            # per-dataset TB metrics therefore cover the master host's shard
+            # (scalar metrics above are pmean'd and already global).
             ids = np.asarray([name_to_id.get(n, 0) for n in batch[C.DATASET_NAME_KEY]])
             dataset_sums = dataset_sums.update(
-                jnp.asarray(ids), out["ious"], out["visibility"]
+                jnp.asarray(ids),
+                jnp.asarray(_host_local_rows(out["ious"])),
+                jnp.asarray(_host_local_rows(out["visibility"])),
             )
             self.miner.update(
                 scalars["loss"],
                 batch,
-                {C.TARGET_CLASSIFICATION_KEY: out["cls_map"], C.TARGET_REGRESSION_LABEL_KEY: out["reg_map"]},
+                {
+                    C.TARGET_CLASSIFICATION_KEY: _host_local_rows(out["cls_map"]),
+                    C.TARGET_REGRESSION_LABEL_KEY: _host_local_rows(out["reg_map"]),
+                },
             )
             step = int(self.state.step)
             if step % log_every == 0:
@@ -377,6 +401,20 @@ class Trainer:
         # (the reference had no optimizer-state resume flow, SURVEY.md §5)
         start_epoch = 0
         if self.config.get("resume", False):
+            if multihost.process_count() > 1:
+                # a host that cannot see the checkpoint would silently start
+                # fresh while others restore — divergent params + epoch
+                # counts corrupt pmean'd training. Fail loudly instead.
+                from jax.experimental import multihost_utils as mhu
+
+                flags = mhu.process_allgather(
+                    jnp.asarray([1 if self.ckpt.has_last() else 0])
+                )
+                if int(flags.min()) != int(flags.max()):
+                    raise RuntimeError(
+                        "resume: checkpoint visibility differs across hosts — "
+                        "experiment.folder must be a shared filesystem"
+                    )
             if self.ckpt.has_last():
                 # no exception swallowing: a corrupt/incompatible checkpoint
                 # must fail loudly, not silently retrain from scratch

@@ -3,8 +3,11 @@
 indistinguishable from a real FEAR-XS run in BENCH_r*.json)."""
 
 import json
+import os
 import subprocess
 import sys
+
+import pytest
 
 
 def _run_bench(monkeypatched_weights: bool, tmp_path):
@@ -46,6 +49,10 @@ def test_random_weights_run_is_marked_and_uncredited(tmp_path):
     assert rec["value"] > 0
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"),
+    reason="reference assets not mounted",
+)
 def test_real_weights_run_is_marked(tmp_path):
     rec = _run_bench(monkeypatched_weights=False, tmp_path=tmp_path)
     assert rec["weights"] == "fear_xs"

@@ -120,6 +120,24 @@ def test_non_master_host_writes_nothing(mh_config, monkeypatch):
     assert not os.listdir(trainer.ckpt.directory) or not trainer.ckpt.has_last()
 
 
+def test_host_local_rows_preserves_shard_order(monkeypatch):
+    """_host_local_rows on a batch-sharded global array returns rows in
+    global-index order (in one process every shard is addressable, so the
+    result must equal the full array)."""
+    import jax
+    import jax.numpy as jnp
+
+    from feartracker_tpu.parallel.mesh import batch_sharding, make_mesh
+    from feartracker_tpu.train import loop as L
+
+    mesh = make_mesh(8)
+    x = jnp.arange(16.0).reshape(16, 1)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    monkeypatch.setattr(L.jax, "process_count", lambda: 2)
+    out = L._host_local_rows(xs)
+    np.testing.assert_array_equal(out, np.asarray(x))
+
+
 def test_distributed_initialize_is_idempotent(monkeypatch):
     from feartracker_tpu.parallel import multihost
 

@@ -43,28 +43,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from feartracker_tpu.convert.fear_weights import load_fear_xs
-    from feartracker_tpu.models.fear_net import FEARNet
-    from feartracker_tpu.tracker.runtime import ScanTracker
+    from feartracker_tpu.evaluate.harness import build_scan_tracker, synthetic_streams
 
     s_values = [int(s) for s in args.streams.split(",")]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = FEARNet(dtype=dtype)
-    variables = load_fear_xs(TRACKER_ML)
-    tracker = ScanTracker(model, variables, dtype=dtype, postprocess_impl="pallas")
-
-    rng = np.random.RandomState(0)
-    frame = rng.randint(0, 255, (256, 480, 3), np.uint8)
-    bbox = np.array([163, 53, 45, 174], np.float32)
+    tracker, provenance = build_scan_tracker(TRACKER_ML, dtype=dtype)
+    print(f"[setup] weights: {provenance}")
 
     def run_one(S: int, warm: int) -> list:
         """Set up S streams (device-resident), warm, return per-repeat
         ms/call. Inputs live only for this call — the full set of S values
         does not fit HBM together (~28 GB of frames)."""
-        frames0 = jnp.asarray(np.broadcast_to(frame, (S, 256, 480, 3)))
-        chunk_host = rng.randint(0, 255, (args.chunk, 1, 256, 480, 3), np.uint8)
-        chunk = jnp.asarray(np.broadcast_to(chunk_host, (args.chunk, S, 256, 480, 3)))
-        state = tracker.init(frames0, jnp.asarray(np.tile(bbox, (S, 1))))
+        frames0, chunk, bboxes = synthetic_streams(S, args.chunk)
+        state = tracker.init(frames0, bboxes)
         out = None
         for _ in range(warm):
             state, out = tracker.track(state, chunk)
@@ -104,14 +95,8 @@ def main() -> None:
 
     if args.profile_dir:
         S = s_values[-1]
-        frames0 = jnp.asarray(np.broadcast_to(frame, (S, 256, 480, 3)))
-        chunk = jnp.asarray(
-            np.broadcast_to(
-                rng.randint(0, 255, (args.chunk, 1, 256, 480, 3), np.uint8),
-                (args.chunk, S, 256, 480, 3),
-            )
-        )
-        state = tracker.init(frames0, jnp.asarray(np.tile(bbox, (S, 1))))
+        frames0, chunk, bboxes = synthetic_streams(S, args.chunk)
+        state = tracker.init(frames0, bboxes)
         state, out = tracker.track(state, chunk)  # warm
         np.asarray(out["bbox"][-1])
         with jax.profiler.trace(args.profile_dir):
