@@ -70,11 +70,14 @@ def cmd_fps(args) -> None:
     print(json.dumps(res))
 
 
-def cmd_got10k(args) -> None:
-    from feartracker_tpu.data.sequence import GOT10kDataset
+def cmd_eval(args) -> None:
+    """Sequence-dataset evaluation/submission for any registry dataset."""
+    from feartracker_tpu.data.sequence import DATASET_REGISTRY
     from feartracker_tpu.tracker.config import TrackerConfig
 
-    dataset = GOT10kDataset(args.root, subset=args.subset)
+    cls = DATASET_REGISTRY[args.dataset]
+    kwargs = {"subset": args.subset} if args.dataset in ("got10k", "trackingnet") else {}
+    dataset = cls(args.root, **kwargs)
     cfg = TrackerConfig(smooth=args.smooth)
     if args.batched and args.submit_dir:
         raise SystemExit("--submit_dir requires the sequential tracker; drop --batched")
@@ -90,12 +93,18 @@ def cmd_got10k(args) -> None:
             tracker, dataset, streams=args.streams, max_frames=args.max_frames, verbose=True
         )
     elif args.submit_dir:
-        from feartracker_tpu.evaluate.got10k_eval import write_got10k_submission
+        from feartracker_tpu.evaluate.got10k_eval import (
+            write_got10k_submission,
+            write_trackingnet_submission,
+        )
         from feartracker_tpu.tracker.tracker import FEARTracker
 
+        writers = {"got10k": write_got10k_submission, "trackingnet": write_trackingnet_submission}
+        if args.dataset not in writers:
+            raise SystemExit(f"--submit_dir supports {sorted(writers)}, not {args.dataset!r}")
         model, variables = _load(args.weights_path)
         tracker = FEARTracker(model, variables, cfg)
-        out = write_got10k_submission(
+        out = writers[args.dataset](
             tracker, dataset, args.submit_dir, max_frames=args.max_frames, verbose=True
         )
         res = {"submission_dir": out, "num_sequences": len(dataset)}
@@ -126,17 +135,25 @@ def main() -> None:
     fp.add_argument("--csv", default=None)
     fp.add_argument("--dynamic_template", action="store_true")
 
-    gp = sub.add_parser("got10k")
-    gp.add_argument("--root", required=True)
-    gp.add_argument("--subset", default="val")
-    gp.add_argument("--max_frames", type=int, default=None)
-    gp.add_argument("--smooth", action="store_true")
-    gp.add_argument("--batched", action="store_true", help="multi-stream scan runtime")
-    gp.add_argument("--streams", type=int, default=64)
-    gp.add_argument("--submit_dir", default=None, help="write GOT-10k server submission files here")
+    from feartracker_tpu.data.sequence import DATASET_REGISTRY
+
+    # `got10k` kept as an alias of `eval --dataset got10k` (original CLI)
+    for cmd_name in ("got10k", "eval"):
+        gp = sub.add_parser(cmd_name)
+        if cmd_name == "eval":
+            gp.add_argument("--dataset", choices=sorted(DATASET_REGISTRY), default="got10k")
+        gp.add_argument("--root", required=True)
+        gp.add_argument("--subset", default="val")
+        gp.add_argument("--max_frames", type=int, default=None)
+        gp.add_argument("--smooth", action="store_true")
+        gp.add_argument("--batched", action="store_true", help="multi-stream scan runtime")
+        gp.add_argument("--streams", type=int, default=64)
+        gp.add_argument("--submit_dir", default=None, help="write eval-server submission files here")
 
     args = p.parse_args()
-    {"macs": cmd_macs, "fps": cmd_fps, "got10k": cmd_got10k}[args.cmd](args)
+    if args.cmd == "got10k":
+        args.dataset = "got10k"
+    {"macs": cmd_macs, "fps": cmd_fps, "got10k": cmd_eval, "eval": cmd_eval}[args.cmd](args)
 
 
 if __name__ == "__main__":

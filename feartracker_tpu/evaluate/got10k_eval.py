@@ -135,3 +135,29 @@ def write_got10k_submission(
         if verbose:
             print(f"  wrote {name}: {len(boxes)} boxes")
     return out_dir
+
+
+def write_trackingnet_submission(
+    tracker,
+    dataset: SequenceDataset,
+    out_dir: str,
+    max_frames: Optional[int] = None,
+    verbose: bool = False,
+) -> str:
+    """TrackingNet evaluation-server format: one flat ``<seq>.txt`` per
+    sequence (x,y,w,h per frame, comma-separated; frame 0 = the given init
+    box), zipped flat for upload. Same run loop as the GOT-10k writer, only
+    the file layout differs."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for s in range(len(dataset)):
+        files, anno, _ = dataset[s]
+        name = dataset.sequence_name(s)
+        n = min(len(files), max_frames or len(files))
+        boxes, _ = run_sequence(tracker, files, anno[0], n, with_times=True)
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as fh:
+            fh.write("\n".join(",".join(f"{v:.4f}" for v in b) for b in boxes))
+        if verbose:
+            print(f"  wrote {name}: {len(boxes)} boxes")
+    return out_dir

@@ -133,3 +133,12 @@ def test_got10k_submission_writer(tmp_path):
     assert lines[1].startswith("6.0000,5.0000")
     times = open(os.path.join(out, "seq_a", "seq_a_time.txt")).read().strip().split("\n")
     assert len(times) == 3
+
+    # TrackingNet server format: flat <seq>.txt, same boxes, no time files
+    from feartracker_tpu.evaluate.got10k_eval import write_trackingnet_submission
+
+    out2 = write_trackingnet_submission(
+        DummyTracker(), DummyDataset(tmp_path), str(tmp_path / "sub_tn")
+    )
+    tn_lines = open(os.path.join(out2, "seq_a.txt")).read().strip().split("\n")
+    assert tn_lines == lines
