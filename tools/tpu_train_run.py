@@ -24,8 +24,10 @@ import numpy as np
 TRACKER_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
 
 
-def build_config(root: str, exp: str, platform: str, epochs: int, resume: bool):
+def build_config(root: str, exp: str, platform: str, epochs: int, resume: bool,
+                 dual_template: bool = False):
     return {
+        "dual_template": dual_template,
         # platform "" = default backend (the tunneled TPU); tests use "cpu"
         "platform": platform,
         "num_devices": 1,
@@ -86,12 +88,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--resume_epochs", type=int, default=2,
                     help="extra epochs for the resumed run (0 = skip resume check)")
+    ap.add_argument("--dual", action="store_true",
+                    help="train the dual-template module (BASELINE config 3)")
     args = ap.parse_args()
 
     from feartracker_tpu.train.loop import Trainer
 
     t0 = time.time()
-    trainer = Trainer(build_config(args.root, args.exp, args.platform, args.epochs, False))
+    trainer = Trainer(build_config(args.root, args.exp, args.platform, args.epochs, False,
+                               dual_template=args.dual))
     trainer.setup_data()
     trainer.setup_state(0)
 
@@ -121,7 +126,8 @@ def main():
 
     if args.resume_epochs:
         cfg = build_config(args.root, args.exp, args.platform,
-                           args.epochs + args.resume_epochs, True)
+                           args.epochs + args.resume_epochs, True,
+                           dual_template=args.dual)
         resumed = Trainer(cfg)
         resumed.setup_data()
         resumed.setup_state(0)
