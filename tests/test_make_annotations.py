@@ -32,6 +32,33 @@ def got10k_tree(tmp_path):
     return tmp_path
 
 
+def test_make_trackingnet_csv(tmp_path):
+    chunk = tmp_path / "TRAIN_0"
+    for seq in ("a", "b"):
+        frames = chunk / "frames" / seq
+        frames.mkdir(parents=True)
+        for i in [0, 1, 2, 10]:  # numeric vs lexical order differs
+            cv2.imwrite(str(frames / f"{i}.jpg"), np.full((60, 80, 3), 70, np.uint8))
+        anno = chunk / "anno"
+        anno.mkdir(exist_ok=True)
+        (anno / f"{seq}.txt").write_text("5,6,20,18\n6,7,20,18\n7,8,20,18\n8,9,20,18")
+    out_csv = str(tmp_path / "tn.csv")
+    r = subprocess.run(
+        [sys.executable, "tools/make_annotations.py", "trackingnet",
+         "--root", str(tmp_path), "--out", out_csv],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr
+    import pandas as pd
+
+    df = pd.read_csv(out_csv)
+    assert len(df) == 8 and df["dataset"].unique().tolist() == ["trackingnet"]
+    # numeric frame ordering: frame_index 3 maps to 10.jpg
+    last = df[(df["sequence_id"] == "a") & (df["frame_index"] == 3)]["img_path"].item()
+    assert last.endswith("10.jpg")
+
+
 def test_make_got10k_csv(got10k_tree, tmp_path):
     out_csv = str(tmp_path / "train.csv")
     r = subprocess.run(

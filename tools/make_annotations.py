@@ -106,7 +106,26 @@ def make_lasot(root: str, subset: str = "") -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-BUILDERS = {"got10k": make_got10k, "lasot": make_lasot}
+def make_trackingnet(root: str, subset: str = "train") -> pd.DataFrame:
+    """TrackingNet train chunks: root/TRAIN_*/frames/<seq>/<N>.jpg (numeric
+    order) + anno/<seq>.txt. No absence labels in the release."""
+    rows = []
+    chunks = sorted(
+        d for d in glob.glob(os.path.join(root, "TRAIN_*")) if os.path.isdir(d)
+    )
+    for chunk in chunks:
+        for anno_path in sorted(glob.glob(os.path.join(chunk, "anno", "*.txt"))):
+            seq = os.path.splitext(os.path.basename(anno_path))[0]
+            frame_dir = os.path.join(chunk, "frames", seq)
+            files = glob.glob(os.path.join(frame_dir, "*.jpg"))
+            files.sort(key=lambda p: int(os.path.splitext(os.path.basename(p))[0]))
+            rows += rows_for_sequence(
+                seq, seq, files, _read_gt(anno_path), "trackingnet", root
+            )
+    return pd.DataFrame(rows)
+
+
+BUILDERS = {"got10k": make_got10k, "lasot": make_lasot, "trackingnet": make_trackingnet}
 
 
 def main() -> None:
