@@ -55,6 +55,9 @@ class ShardedScanTracker(ScanTracker):
         frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)
         return self._step_jit(self.variables, state, frames)
 
-    def track(self, state: StreamState, frames):
+    def track(self, state: StreamState, frames, start_step: int = 0):
         frames = jax.device_put(jax.numpy.asarray(frames), self._chunk_sharding)
-        return self._track_jit(self.variables, state, frames)
+        return self._track_jit(
+            self.variables, state, frames,
+            jax.numpy.asarray(start_step, jax.numpy.int32),
+        )

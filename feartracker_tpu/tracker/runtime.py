@@ -69,6 +69,7 @@ class ScanTracker:
         update_threshold: float = 0.85,
         update_rate: float = 0.1,
         update_mode: str = "ema",
+        update_interval: int = 1,
         dtype: jnp.dtype = jnp.float32,
         crop_impl: str = "mm",
         postprocess_impl: str = "xla",
@@ -90,6 +91,14 @@ class ScanTracker:
         if update_mode not in ("ema", "gated"):
             raise ValueError(f"update_mode must be 'ema' or 'gated', got {update_mode!r}")
         self.update_mode = update_mode
+        # consider a template refresh only every K-th scanned frame: the
+        # candidate-encoder pass is the dual-template mode's entire overhead
+        # (~30% of the step), and `lax.cond` on the scalar frame index
+        # genuinely skips it on off-cadence frames (conditional HLO, not a
+        # masked select). K=1 = refresh-eligible every frame.
+        if update_interval < 1:
+            raise ValueError(f"update_interval must be >= 1, got {update_interval}")
+        self.update_interval = int(update_interval)
         self.dtype = dtype
         # weights ride as jit arguments (device arrays), not baked constants;
         # the carried state is donated in track() (callers always rebind:
@@ -139,7 +148,9 @@ class ScanTracker:
             confidence=jnp.ones(frames.shape[0], jnp.float32),
         )
 
-    def _step_impl(self, variables, state: StreamState, frames: jnp.ndarray) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
+    def _step_impl(
+        self, variables, state: StreamState, frames: jnp.ndarray, step_index=None
+    ) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         cfg = self.config
         H, W = frames.shape[1], frames.shape[2]
 
@@ -174,14 +185,23 @@ class ScanTracker:
 
         dyn = state.dyn_feats
         if self.dynamic_template:
-            cand = self._template_features(variables, frames, bbox, state.mean_color)
-            gate = (res.confidence > self.update_threshold)[:, None, None, None]
-            if self.update_mode == "gated":
-                g = jax.nn.sigmoid(variables["params"]["template_gate"]).astype(dyn.dtype)
-                blended = (1.0 - g) * state.template_feats + g * cand
+
+            def refresh(dyn):
+                cand = self._template_features(variables, frames, bbox, state.mean_color)
+                gate = (res.confidence > self.update_threshold)[:, None, None, None]
+                if self.update_mode == "gated":
+                    g = jax.nn.sigmoid(variables["params"]["template_gate"]).astype(dyn.dtype)
+                    blended = (1.0 - g) * state.template_feats + g * cand
+                else:
+                    blended = (1.0 - self.update_rate) * dyn + self.update_rate * cand
+                return jnp.where(gate, blended, dyn)
+
+            if step_index is not None and self.update_interval > 1:
+                dyn = jax.lax.cond(
+                    step_index % self.update_interval == 0, refresh, lambda d: d, dyn
+                )
             else:
-                blended = (1.0 - self.update_rate) * dyn + self.update_rate * cand
-            dyn = jnp.where(gate, blended, dyn)
+                dyn = refresh(dyn)
 
         new_state = StreamState(
             template_feats=state.template_feats,
@@ -197,9 +217,15 @@ class ScanTracker:
         }
         return new_state, outputs
 
-    def _track_impl(self, variables, state: StreamState, frames: jnp.ndarray):
-        """frames: (T, S, H, W, 3) → (state, outputs stacked over T)."""
-        return jax.lax.scan(lambda c, f: self._step_impl(variables, c, f), state, frames)
+    def _track_impl(self, variables, state: StreamState, frames: jnp.ndarray, start_step=0):
+        """frames: (T, S, H, W, 3) → (state, outputs stacked over T).
+
+        ``start_step`` offsets the frame indices that pace the dual-template
+        ``update_interval`` cadence across chunked track() calls."""
+        idx = jnp.arange(frames.shape[0]) + start_step
+        return jax.lax.scan(
+            lambda c, ft: self._step_impl(variables, c, ft[0], ft[1]), state, (frames, idx)
+        )
 
     # -- public API --------------------------------------------------------
 
@@ -216,10 +242,16 @@ class ScanTracker:
         """One frame for every stream."""
         return self._step_jit(self.variables, state, jnp.asarray(frames))
 
-    def track(self, state: StreamState, frames) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
+    def track(self, state: StreamState, frames, start_step: int = 0) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """A chunk of frames (T, S, H, W, 3), scanned on device.
+
+        ``start_step``: global index of the chunk's first frame — keeps the
+        dual-template ``update_interval`` cadence steady across chunks (pass
+        a running frame count; irrelevant when update_interval == 1).
 
         NOTE: ``state`` is DONATED — its buffers are invalid afterwards.
         Always rebind: ``state, out = tracker.track(state, frames)``.
         """
-        return self._track_jit(self.variables, state, jnp.asarray(frames))
+        return self._track_jit(
+            self.variables, state, jnp.asarray(frames), jnp.asarray(start_step, jnp.int32)
+        )

@@ -66,6 +66,37 @@ def test_sharded_dynamic_template():
     assert len(state.dyn_feats.sharding.device_set) == 8
 
 
+def test_update_interval_cadence():
+    """update_interval=2: the template refreshes only on even global frame
+    indices, and the start_step offset keeps the cadence across chunks."""
+    model, variables, frames0, chunk, bboxes = _setup()
+    every = ScanTracker(model, variables, CFG, dynamic_template=True, update_threshold=-1.0)
+    paced = ScanTracker(
+        model, variables, CFG, dynamic_template=True, update_threshold=-1.0, update_interval=2
+    )
+
+    st_e = every.init(frames0, bboxes)
+    st_p = paced.init(frames0, bboxes)
+    np.testing.assert_array_equal(np.asarray(st_e.dyn_feats), np.asarray(st_p.dyn_feats))
+
+    # frame indices 0..3: paced refreshes at 0 and 2 only
+    dyn_e, dyn_p = [], []
+    for t in range(4):
+        st_e, _ = every.track(st_e, chunk[t : t + 1], start_step=t)
+        st_p, _ = paced.track(st_p, chunk[t : t + 1], start_step=t)
+        dyn_e.append(np.asarray(st_e.dyn_feats))
+        dyn_p.append(np.asarray(st_p.dyn_feats))
+
+    # refresh frames: paced changed its dyn template
+    assert np.abs(dyn_p[0] - np.asarray(st_p.template_feats)).max() > 0
+    # skip frame 1: paced dyn unchanged from frame 0, while 'every' moved on
+    np.testing.assert_array_equal(dyn_p[1], dyn_p[0])
+    assert np.abs(dyn_e[1] - dyn_e[0]).max() > 0
+    # frame 2 refreshes again
+    assert np.abs(dyn_p[2] - dyn_p[1]).max() > 0
+    np.testing.assert_array_equal(dyn_p[3], dyn_p[2])
+
+
 def test_gated_update_mode():
     """'gated' dual-template mode uses the learned interpolation of the
     static template with the candidate."""
