@@ -43,7 +43,8 @@ def track(tracker, frames, initial_bbox: np.ndarray) -> List[np.ndarray]:
     return tracked
 
 
-def track_scan(weights_path, frames, initial_bbox, smooth=False, dynamic_template=False, chunk=32):
+def track_scan(weights_path, frames, initial_bbox, smooth=False, dynamic_template=False,
+               update_interval=1, chunk=32):
     """Single video through the on-device scan runtime (S=1)."""
     from feartracker_tpu.convert.fear_weights import load_fear_xs
     from feartracker_tpu.models.fear_net import FEARNet
@@ -54,11 +55,12 @@ def track_scan(weights_path, frames, initial_bbox, smooth=False, dynamic_templat
     tracker = ScanTracker(
         model, load_fear_xs(weights_path), TrackerConfig(smooth=smooth),
         dynamic_template=dynamic_template,
+        update_interval=update_interval,
     )
     state = tracker.init(frames[0][None], np.asarray(initial_bbox, np.float32)[None])
     tracked = [np.asarray(initial_bbox)]
     for t0 in range(1, len(frames), chunk):
-        state, out = tracker.track(state, frames[t0 : t0 + chunk][:, None])
+        state, out = tracker.track(state, frames[t0 : t0 + chunk][:, None], start_step=t0 - 1)
         tracked.extend(np.asarray(out["bbox"])[:, 0])
     return tracked
 
@@ -75,6 +77,8 @@ def main() -> None:
     p.add_argument("--runtime", choices=["host", "scan"], default="host",
                    help="host = reference-API tracker; scan = on-device lax.scan runtime")
     p.add_argument("--dynamic_template", action="store_true", help="dual-template update (scan runtime)")
+    p.add_argument("--update_interval", type=int, default=1,
+                   help="consider a template refresh every K-th frame (scan runtime)")
     args = p.parse_args()
 
     if args.platform:
@@ -86,7 +90,8 @@ def main() -> None:
     frames = read_video(args.video_path, max_frames=args.max_frames)
     if args.runtime == "scan":
         bboxes = track_scan(args.weights_path, frames, np.array(args.initial_bbox),
-                            smooth=args.smooth, dynamic_template=args.dynamic_template)
+                            smooth=args.smooth, dynamic_template=args.dynamic_template,
+                            update_interval=args.update_interval)
     else:
         tracker = get_tracker(args.weights_path, smooth=args.smooth)
         bboxes = track(tracker, frames, np.array(args.initial_bbox))

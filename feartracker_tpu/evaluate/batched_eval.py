@@ -108,7 +108,7 @@ def batched_evaluate(
             n = min(chunk, max_len - t)
             flat = list(pool.map(load, [(i, t + k) for k in range(n) for i in range(ST)]))
             frames = np.stack([f for f, _ in flat]).reshape(n, ST, *frame_hw, 3)
-            state, out = tracker.track(state, frames)
+            state, out = tracker.track(state, frames, start_step=t - 1)
             bboxes = np.asarray(out["bbox"])  # (n, ST, 4)
             for k in range(n):
                 for i in range(S):

@@ -41,7 +41,9 @@ def cmd_fps(args) -> None:
     from feartracker_tpu.utils.video import read_video
 
     model, variables = _load(args.weights_path, dtype="bfloat16")
-    tracker = ScanTracker(model, variables, dtype=jnp.bfloat16, dynamic_template=args.dynamic_template)
+    tracker = ScanTracker(model, variables, dtype=jnp.bfloat16,
+                          dynamic_template=args.dynamic_template,
+                          update_interval=args.update_interval)
     S, T = args.streams, args.chunk
     try:
         video = read_video(args.video_path, max_frames=T + 1)
@@ -51,10 +53,13 @@ def cmd_fps(args) -> None:
     chunk = jnp.asarray(np.broadcast_to(video[1 : T + 1, None], (T, S) + video[0].shape))
     bboxes = jnp.asarray(np.tile(np.array([[163, 53, 45, 174]], np.float32), (S, 1)))
 
-    state_holder = {"state": tracker.init(frames0, bboxes)}
+    state_holder = {"state": tracker.init(frames0, bboxes), "t": 0}
 
     def call():
-        state_holder["state"], outs = tracker.track(state_holder["state"], chunk)
+        state_holder["state"], outs = tracker.track(
+            state_holder["state"], chunk, start_step=state_holder["t"]
+        )
+        state_holder["t"] += T
         return outs
 
     def sync(outs):
@@ -134,6 +139,7 @@ def main() -> None:
     fp.add_argument("--video_path", default="/root/reference/assets/test.mp4")
     fp.add_argument("--csv", default=None)
     fp.add_argument("--dynamic_template", action="store_true")
+    fp.add_argument("--update_interval", type=int, default=1)
 
     from feartracker_tpu.data.sequence import DATASET_REGISTRY
 
