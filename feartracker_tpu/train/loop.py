@@ -327,10 +327,18 @@ class Trainer:
 
     def validate(self, epoch: int) -> Dict[str, float]:
         """True online tracking over val sequences
-        (ref: fear_lightning_model.py:93-125)."""
+        (ref: fear_lightning_model.py:93-125).
+
+        ``val_batched: true`` routes validation through the multi-stream scan
+        runtime (S sequences tracked together, letterboxed) — the sequential
+        per-frame loop costs one device dispatch per frame, which dominates
+        wall time on a real TPU; the batched path amortizes it S×chunk-fold.
+        """
         assert self.state is not None
         if not self.val_datasets:
             return {}
+        if self.config.get("val_batched"):
+            return self._validate_batched(epoch)
         variables = {
             "params": jax.tree.map(np.asarray, self.state.params),
             "batch_stats": jax.tree.map(np.asarray, self.state.batch_stats),
@@ -376,6 +384,46 @@ class Trainer:
             self.writer.add_scalar(
                 f"valid/metrics/{name}_failure_rate", np.mean(per_dataset_fail[name]), epoch
             )
+        return metrics
+
+    def _validate_batched(self, epoch: int) -> Dict[str, float]:
+        from feartracker_tpu.evaluate.batched_eval import batched_evaluate
+        from feartracker_tpu.tracker.runtime import ScanTracker
+
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        if not hasattr(self, "_batched_val_tracker"):
+            self._batched_val_tracker = ScanTracker(
+                self.val_model, variables, self.tracker_config
+            )
+        else:
+            self._batched_val_tracker.set_variables(variables)
+
+        streams = int(self.config.get("val_streams", 16))
+        frame_hw = tuple(self.config.get("val_frame_hw", (360, 640)))
+        max_samples = int(self.config.get("max_val_samples", 200))
+        iou_threshold = 0.01
+        metrics: Dict[str, float] = {}
+        all_seq_means: List[float] = []
+        for ds in self.val_datasets:
+            res = batched_evaluate(
+                self._batched_val_tracker, ds,
+                streams=streams, frame_hw=frame_hw, max_frames=max_samples,
+            )
+            seq_means = [float(np.mean(ov)) for ov in res["per_sequence"].values()]
+            fails = [float(np.mean(np.asarray(ov) < iou_threshold)) for ov in res["per_sequence"].values()]
+            all_seq_means += seq_means
+            metrics[f"{ds.name}_box_iou"] = float(np.mean(seq_means)) if seq_means else 0.0
+            self.writer.add_scalar(f"valid/metrics/{ds.name}_box_iou", metrics[f"{ds.name}_box_iou"], epoch)
+            self.writer.add_scalar(
+                f"valid/metrics/{ds.name}_failure_rate",
+                float(np.mean(fails)) if fails else 0.0, epoch,
+            )
+        if all_seq_means:
+            metrics["box_iou"] = float(np.mean(all_seq_means))
+            self.writer.add_scalar("valid/metrics/box_iou", metrics["box_iou"], epoch)
         return metrics
 
     def _update_frame_offset(self, epoch: int) -> None:

@@ -136,6 +136,29 @@ def test_trainer_end_to_end(tiny_config):
     assert trainer.train_dataset.datasets[0].item_sampler.frame_offset > 4
 
 
+def test_batched_validation_matches_sequential(tiny_config):
+    """val_batched routes validation through the scan runtime; on the
+    synthetic val set (letterboxed at native resolution) it must agree with
+    the sequential per-frame tracker loop."""
+    from feartracker_tpu.train.loop import Trainer
+
+    cfg = {
+        **tiny_config,
+        "experiment": {**tiny_config["experiment"], "name": "BVAL"},
+    }
+    trainer = Trainer(cfg)
+    trainer.setup_data()
+    trainer.setup_state(0)
+    seq = trainer.validate(0)
+
+    trainer.config = {**cfg, "val_batched": True, "val_frame_hw": (160, 200), "val_streams": 2}
+    bat = trainer.validate(0)
+    assert set(bat) >= {"box_iou", "got10k_box_iou"}
+    assert 0.0 <= bat["box_iou"] <= 1.0
+    # same sequences, same weights, same resolution: close agreement
+    assert abs(bat["box_iou"] - seq["box_iou"]) < 0.1
+
+
 def test_checkpoint_restore_roundtrip(tiny_config):
     import jax
     import numpy as np
