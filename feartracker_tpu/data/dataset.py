@@ -77,6 +77,10 @@ class SiameseTrackingDataset:
         # emit an auxiliary later-frame template crop for dual-template
         # training (paper feature; reference README.md:96)
         self.dynamic_template = bool(config.get("dynamic_template", False))
+        # staged mode: stop after host geometry (uint8 context crops) and let
+        # the jitted train step do random crop + augs + normalize + labels on
+        # device (data/device_augs.py) — unblocks host-bound training on TPU
+        self.device_augs = bool(config.get("device_augs", False))
         # per-item RNGs are derived from (seed, epoch, idx) inside
         # __getitem__: a single shared RandomState would interleave draws
         # nondeterministically across the loader's worker threads
@@ -123,6 +127,47 @@ class SiameseTrackingDataset:
         bbox2 = handle_empty_bbox(ensure_bbox_boundaries(np.asarray(bbox2), (size, size)))
         return crop, bbox2
 
+    def _staged_item(
+        self, idx, rng, template_crop, template_bbox,
+        search_image, search_bbox, template_item, search_item, presence,
+    ) -> Dict[str, Any]:
+        """Device-augs mode: host work stops at the doubled-context search
+        crop (uint8) + final-geometry template crop (uint8); the train step
+        runs data/device_augs.augment_batch for the rest."""
+        from feartracker_tpu.data.device_augs import STAGED_SEARCH_BBOX_KEY, STAGED_SEARCH_KEY
+
+        size = self.sizes["search_image_size"]
+        staged, staged_bbox, _ = get_extended_crop(
+            search_image, search_bbox, crop_size=size * 2, offset=self._search_offset(rng)
+        )
+        item = {
+            STAGED_SEARCH_KEY: staged.astype(np.uint8),
+            STAGED_SEARCH_BBOX_KEY: np.asarray(staged_bbox, np.float32),
+            C.TRACKER_TARGET_TEMPLATE_IMAGE_KEY: template_crop.astype(np.uint8),
+            C.TRACKER_TEMPLATE_BBOX_KEY: template_bbox.astype(np.float32),
+            C.TARGET_VISIBILITY_KEY: np.asarray([presence], np.float32),
+            C.TRACKER_TARGET_SEARCH_FILENAME_KEY: str(search_item["img_path"]),
+            C.TRACKER_TARGET_TEMPLATE_FILENAME_KEY: str(template_item["img_path"]),
+            C.DATASET_NAME_KEY: str(search_item.get("dataset", self.name)),
+            C.SAMPLE_INDEX_KEY: idx,
+        }
+        if self.dynamic_template:
+            aux_item = None
+            for _ in range(4):
+                cand = self.item_sampler.extract_sample(idx, rng=rng)["search"]
+                if int(cand["presence"]) == 1:
+                    aux_item = cand
+                    break
+            if aux_item is None:
+                aux_item = template_item
+            aux_image = read_img(os.path.join(self.root, aux_item["img_path"]))
+            aux_bbox = ensure_bbox_boundaries(
+                np.asarray(ast.literal_eval(str(aux_item["bbox"]))), aux_image.shape[:2]
+            )
+            aux, _ = self._template_transform(aux_image, aux_bbox)
+            item[C.TRACKER_TARGET_AUX_IMAGE_KEY] = aux.astype(np.uint8)
+        return item
+
     # -- item assembly ------------------------------------------------------
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
@@ -140,6 +185,11 @@ class SiameseTrackingDataset:
         presence = int(search_item["presence"])
 
         template_crop, template_bbox = self._template_transform(template_image, template_bbox)
+        if self.device_augs:
+            return self._staged_item(
+                idx, rng, template_crop, template_bbox,
+                search_image, search_bbox, template_item, search_item, presence,
+            )
         search_crop, search_bbox = self._search_transform(search_image, search_bbox, rng)
         aux = None
         if self.dynamic_template:

@@ -80,16 +80,30 @@ def crop_resize(
     return top * (1.0 - fy) + bot * fy
 
 
-def _interp_matrix(origin: jnp.ndarray, size: jnp.ndarray, src_len: int, out_size: int, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _interp_matrix(
+    origin: jnp.ndarray, size: jnp.ndarray, src_len: int, out_size: int, dtype,
+    grid: str = "resize",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rows of the 1-D bilinear interpolation operator for one axis.
 
     Returns (R (out_size, src_len), wsum (out_size,)) where R@src performs the
     axis resize with out-of-range samples dropped (weight 0) and ``wsum`` is
     the retained weight per output element (1 inside, <1 at the pad border,
     0 fully outside) — used to mix in the pad color separably.
+
+    ``grid``: "resize" = cv2.resize INTER_LINEAR sampling
+    (src = origin + (dst+0.5)·size/out − 0.5, clamped into the window —
+    border-replicate like resizing a pre-cropped image); "affine" =
+    cv2.warpAffine with scale (out−1)/size (src = origin + dst·size/(out−1),
+    unclamped — constant border), the grid BBoxCropWithOffsets uses
+    (ref: aug.py:130-142).
     """
-    d = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
-    src = jnp.clip(origin + d * size - 0.5, origin, origin + size - 1.0)
+    if grid == "affine":
+        d_idx = jnp.arange(out_size, dtype=jnp.float32)
+        src = origin + d_idx * size / (out_size - 1)
+    else:
+        d = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+        src = jnp.clip(origin + d * size - 0.5, origin, origin + size - 1.0)
     s0 = jnp.floor(src)
     f = src - s0
     s0 = s0.astype(jnp.int32)
@@ -106,6 +120,7 @@ def crop_resize_mm(
     out_size: int,
     pad_value: jnp.ndarray,
     compute_dtype: jnp.dtype = jnp.float32,
+    grid: str = "resize",
 ) -> jnp.ndarray:
     """Matmul formulation of :func:`crop_resize` — the TPU-fast path.
 
@@ -117,8 +132,8 @@ def crop_resize_mm(
     -weight outer product — numerically identical to :func:`crop_resize`.
     """
     H, W = frame.shape[0], frame.shape[1]
-    Ry, wy = _interp_matrix(window[1], window[3], H, out_size, compute_dtype)
-    Rx, wx = _interp_matrix(window[0], window[2], W, out_size, compute_dtype)
+    Ry, wy = _interp_matrix(window[1], window[3], H, out_size, compute_dtype, grid)
+    Rx, wx = _interp_matrix(window[0], window[2], W, out_size, compute_dtype, grid)
     f = frame.astype(compute_dtype)
     tmp = jnp.einsum("oh,hwc->owc", Ry, f, preferred_element_type=jnp.float32)
     out = jnp.einsum("pw,owc->opc", Rx, tmp.astype(compute_dtype), preferred_element_type=jnp.float32)

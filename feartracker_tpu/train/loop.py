@@ -51,6 +51,8 @@ _DEVICE_KEYS = (
     C.TRACKER_TARGET_BBOX_KEY,
     C.TARGET_VISIBILITY_KEY,
     C.TRACKER_TARGET_AUX_IMAGE_KEY,
+    "STAGED_SEARCH",  # device-augs staged batch (data/device_augs.py)
+    "STAGED_SEARCH_BBOX",
 )
 
 
@@ -155,6 +157,22 @@ class Trainer:
             total_stride=int(tracker_cfg.get("total_stride", 16)),
             instance_size=int(tracker_cfg.get("instance_size", 256)),
         )
+        # device-side augmentation: random crop/augs/normalize/labels run in
+        # the jitted step; the loader emits staged uint8 crops only
+        self.device_augs_cfg = None
+        if config.get("device_augs", False):
+            from feartracker_tpu.data.device_augs import DeviceAugConfig
+
+            ds0 = (config.get("train", {}).get("datasets") or [{}])[0]
+            sizes = ds0.get("sizes", {})
+            self.device_augs_cfg = DeviceAugConfig(
+                search_size=int(sizes.get("search_image_size", tracker_cfg.get("instance_size", 256))),
+                scale=float(sizes.get("search_image_scale", 0.2)),
+                shift=float(sizes.get("search_image_shift", 32)),
+                grid_size=int(ds0.get("regression_weight_label_size", tracker_cfg.get("score_size", 16))),
+                total_stride=int(tracker_cfg.get("total_stride", 16)),
+            )
+
         self.train_step = make_train_step(
             self.model,
             self.tx,
@@ -162,6 +180,8 @@ class Trainer:
             spec=self.box_spec,
             mesh=self.mesh,
             dual_template=bool(config.get("dual_template", False)),
+            device_augs=self.device_augs_cfg,
+            aug_seed=int(config.get("seed", 0)),
         )
 
         bs = config.get("batch_size", 32)
@@ -192,6 +212,9 @@ class Trainer:
             # produce aux-less batches (KeyError at the first step)
             for ds_cfg in self.config.get("train", {}).get("datasets", []):
                 ds_cfg["dynamic_template"] = True
+        if self.device_augs_cfg is not None:
+            for ds_cfg in self.config.get("train", {}).get("datasets", []):
+                ds_cfg["device_augs"] = True
         self.train_dataset = get_training_datasets(self.config, seed=self.config.get("seed", 0))
         self.val_datasets = get_sequence_datasets(self.config.get("val", {}).get("datasets", []))
         logger.info(
@@ -294,14 +317,17 @@ class Trainer:
                 jnp.asarray(_host_local_rows(out["ious"])),
                 jnp.asarray(_host_local_rows(out["visibility"])),
             )
-            self.miner.update(
-                scalars["loss"],
-                batch,
-                {
-                    C.TARGET_CLASSIFICATION_KEY: _host_local_rows(out["cls_map"]),
-                    C.TARGET_REGRESSION_LABEL_KEY: _host_local_rows(out["reg_map"]),
-                },
-            )
+            if self.device_augs_cfg is None:
+                # mosaics render host-side inputs; with on-device augs the
+                # final crops/labels never exist on host — skip the miner
+                self.miner.update(
+                    scalars["loss"],
+                    batch,
+                    {
+                        C.TARGET_CLASSIFICATION_KEY: _host_local_rows(out["cls_map"]),
+                        C.TARGET_REGRESSION_LABEL_KEY: _host_local_rows(out["reg_map"]),
+                    },
+                )
             step = int(self.state.step)
             if step % log_every == 0:
                 for k, v in scalars.items():

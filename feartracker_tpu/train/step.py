@@ -84,12 +84,17 @@ def make_train_step(
     spec: bc.BoxCoderSpec = bc.BoxCoderSpec(),
     mesh: Optional[Mesh] = None,
     dual_template: bool = False,
+    device_augs: Optional[Any] = None,
+    aug_seed: int = 0,
 ):
     """Build the jitted train step. With ``mesh`` the step is shard_map-ed
     over the ``data`` axis (model must be built with
     ``bn_axis_name=DATA_AXIS``); without, it is plain single-device jit.
     ``dual_template`` trains through ``forward_dual`` (the learned dynamic-
-    template interpolation) — the batch must carry the AUX image key."""
+    template interpolation) — the batch must carry the AUX image key.
+    ``device_augs`` (a data.device_augs.DeviceAugConfig) expects a STAGED
+    uint8 batch and runs random crop + augmentations + normalization + label
+    encoding on device inside this step (PRNG = fold(aug_seed, step[, shard]))."""
 
     def loss_fn(params, batch_stats, batch):
         if dual_template:
@@ -117,6 +122,14 @@ def make_train_step(
         return total, (losses, out, mutated["batch_stats"])
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if device_augs is not None:
+            from feartracker_tpu.data.device_augs import augment_batch
+
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), state.step)
+            if mesh is not None:
+                # decorrelate augmentation draws across shards
+                key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            batch = augment_batch(batch, key, device_augs)
         (total, (losses, out, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )

@@ -25,9 +25,10 @@ TRACKER_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
 
 
 def build_config(root: str, exp: str, platform: str, epochs: int, resume: bool,
-                 dual_template: bool = False):
+                 dual_template: bool = False, device_augs: bool = False):
     return {
         "dual_template": dual_template,
+        "device_augs": device_augs,
         # platform "" = default backend (the tunneled TPU); tests use "cpu"
         "platform": platform,
         "num_devices": 1,
@@ -90,13 +91,15 @@ def main():
                     help="extra epochs for the resumed run (0 = skip resume check)")
     ap.add_argument("--dual", action="store_true",
                     help="train the dual-template module (BASELINE config 3)")
+    ap.add_argument("--device_augs", action="store_true",
+                    help="staged loader + on-device augmentation in the train step")
     args = ap.parse_args()
 
     from feartracker_tpu.train.loop import Trainer
 
     t0 = time.time()
     trainer = Trainer(build_config(args.root, args.exp, args.platform, args.epochs, False,
-                               dual_template=args.dual))
+                               dual_template=args.dual, device_augs=args.device_augs))
     trainer.setup_data()
     trainer.setup_state(0)
 
@@ -127,7 +130,7 @@ def main():
     if args.resume_epochs:
         cfg = build_config(args.root, args.exp, args.platform,
                            args.epochs + args.resume_epochs, True,
-                           dual_template=args.dual)
+                           dual_template=args.dual, device_augs=args.device_augs)
         resumed = Trainer(cfg)
         resumed.setup_data()
         resumed.setup_state(0)
