@@ -127,6 +127,25 @@ class SiameseTrackingDataset:
         bbox2 = handle_empty_bbox(ensure_bbox_boundaries(np.asarray(bbox2), (size, size)))
         return crop, bbox2
 
+    def _sample_aux_template(self, idx, rng, template_item) -> np.ndarray:
+        """Nearby-frame auxiliary template crop for dual-template training;
+        must contain the object — retry on presence==0 rows, fall back to the
+        template frame itself."""
+        aux_item = None
+        for _ in range(4):
+            cand = self.item_sampler.extract_sample(idx, rng=rng)["search"]
+            if int(cand["presence"]) == 1:
+                aux_item = cand
+                break
+        if aux_item is None:
+            aux_item = template_item
+        aux_image = read_img(os.path.join(self.root, aux_item["img_path"]))
+        aux_bbox = ensure_bbox_boundaries(
+            np.asarray(ast.literal_eval(str(aux_item["bbox"]))), aux_image.shape[:2]
+        )
+        aux, _ = self._template_transform(aux_image, aux_bbox)
+        return aux
+
     def _staged_item(
         self, idx, rng, template_crop, template_bbox,
         search_image, search_bbox, template_item, search_item, presence,
@@ -152,19 +171,7 @@ class SiameseTrackingDataset:
             C.SAMPLE_INDEX_KEY: idx,
         }
         if self.dynamic_template:
-            aux_item = None
-            for _ in range(4):
-                cand = self.item_sampler.extract_sample(idx, rng=rng)["search"]
-                if int(cand["presence"]) == 1:
-                    aux_item = cand
-                    break
-            if aux_item is None:
-                aux_item = template_item
-            aux_image = read_img(os.path.join(self.root, aux_item["img_path"]))
-            aux_bbox = ensure_bbox_boundaries(
-                np.asarray(ast.literal_eval(str(aux_item["bbox"]))), aux_image.shape[:2]
-            )
-            aux, _ = self._template_transform(aux_image, aux_bbox)
+            aux = self._sample_aux_template(idx, rng, template_item)
             item[C.TRACKER_TARGET_AUX_IMAGE_KEY] = aux.astype(np.uint8)
         return item
 
@@ -193,22 +200,7 @@ class SiameseTrackingDataset:
         search_crop, search_bbox = self._search_transform(search_image, search_bbox, rng)
         aux = None
         if self.dynamic_template:
-            # nearby-frame auxiliary template; must contain the object —
-            # retry on presence==0 rows (negative_ratio datasets), fall back
-            # to the template frame itself
-            aux_item = None
-            for _ in range(4):
-                cand = self.item_sampler.extract_sample(idx, rng=rng)["search"]
-                if int(cand["presence"]) == 1:
-                    aux_item = cand
-                    break
-            if aux_item is None:
-                aux_item = template_item
-            aux_image = read_img(os.path.join(self.root, aux_item["img_path"]))
-            aux_bbox = ensure_bbox_boundaries(
-                np.asarray(ast.literal_eval(str(aux_item["bbox"]))), aux_image.shape[:2]
-            )
-            aux, aux_bbox = self._template_transform(aux_image, aux_bbox)
+            aux = self._sample_aux_template(idx, rng, template_item)
         # shared-parameter color augs across the group (ref: siam_dataset.py:36,64-67)
         if aux is None:
             template_crop, search_crop = self.paired_color(template_crop, search_crop, rng)

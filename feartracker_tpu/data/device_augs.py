@@ -92,19 +92,18 @@ def _transform_bbox(bbox: jnp.ndarray, crop: jnp.ndarray, out_size: int) -> jnp.
     return jnp.trunc(out)  # int() cast in the reference truncates toward 0
 
 
-def _handle_empty(bbox: jnp.ndarray, size: int) -> jnp.ndarray:
-    """ensure_bbox_boundaries + handle_empty_bbox twins
-    (ref: utils/utils.py:60-73, dataset/utils.py:149-152): degenerate boxes
-    become a centered minimal box."""
+def _handle_empty(bbox: jnp.ndarray, size: int, min_bbox: float = 3.0) -> jnp.ndarray:
+    """Exact twins of ensure_bbox_boundaries + handle_empty_bbox
+    (ref: utils/utils.py:60-73, dataset/utils.py:149-152): clip into the
+    crop, then enforce a minimum side at the clipped location — the host
+    path keeps an out-of-crop box pinned at the border, never recentered."""
     x1 = jnp.clip(bbox[0], 0, size)
     y1 = jnp.clip(bbox[1], 0, size)
     x2 = jnp.clip(bbox[0] + bbox[2], 0, size)
     y2 = jnp.clip(bbox[1] + bbox[3], 0, size)
-    w, h = x2 - x1, y2 - y1
-    empty = (w <= 0) | (h <= 0)
-    c = jnp.float32(size) / 2
-    fallback = jnp.stack([c - 4, c - 4, jnp.float32(8), jnp.float32(8)])
-    return jnp.where(empty, fallback, jnp.stack([x1, y1, w, h]))
+    w = jnp.maximum(x2 - x1, min_bbox)
+    h = jnp.maximum(y2 - y1, min_bbox)
+    return jnp.stack([x1, y1, w, h])
 
 
 # -- photometric / color twins ------------------------------------------------

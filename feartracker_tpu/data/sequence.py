@@ -160,6 +160,12 @@ class TrackingNetDataset(SequenceDataset):
 
     def __init__(self, root_dir: str, subset: str = "test"):
         super().__init__()
+        if subset.lower() not in ("train", "test"):
+            # fail loudly: a GOT-10k-ish subset like "val" would otherwise
+            # silently glob the (huge) TRAIN_* chunks
+            raise ValueError(
+                f"TrackingNet subsets are 'train' or 'test', got {subset!r}"
+            )
         if subset.lower() == "test":
             chunks = ["TEST"]
         else:

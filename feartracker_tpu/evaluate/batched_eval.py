@@ -48,10 +48,12 @@ def batched_evaluate(
     frame_hw: Tuple[int, int] = (360, 640),
     chunk: int = 16,
     max_frames: Optional[int] = None,
+    max_sequences: Optional[int] = None,
     decode_workers: int = 4,
     verbose: bool = False,
 ) -> Dict[str, Any]:
-    """Evaluate ``dataset`` (a SequenceDataset) S sequences at a time."""
+    """Evaluate ``dataset`` (a SequenceDataset) S sequences at a time.
+    ``max_sequences`` caps the run (sanity checks / val_percent)."""
     pool = ThreadPoolExecutor(decode_workers)
     seq_overlaps: List[np.ndarray] = []
     seq_names: List[str] = []
@@ -65,6 +67,8 @@ def batched_evaluate(
     skipped = len(dataset) - len(scorable)
     if skipped and verbose:
         print(f"  skipping {skipped} sequences with <2 annotated frames")
+    if max_sequences is not None:
+        scorable = scorable[: max(int(max_sequences), 0)]
 
     # sharded trackers need the stream axis divisible by the mesh: pad short
     # groups by repeating the last sequence; padded streams are tracked but

@@ -106,18 +106,9 @@ def ope_metrics(
     }
 
 
-def write_got10k_submission(
-    tracker,
-    dataset: SequenceDataset,
-    out_dir: str,
-    max_frames: Optional[int] = None,
-    verbose: bool = False,
-) -> str:
-    """Write GOT-10k evaluation-server submission files: one directory per
-    sequence containing ``<seq>_001.txt`` (x,y,w,h per frame, frame 0 = the
-    given init box) and ``<seq>_time.txt`` (per-frame seconds). The test
-    split's groundtruth has only the init row, so scoring happens server-side
-    — this writer is how real GOT-10k test numbers are produced."""
+def _write_submission(tracker, dataset, out_dir, max_frames, verbose, layout) -> str:
+    """Shared run loop for eval-server submission writers: track every
+    sequence from its init box and hand (name, boxes, times) to ``layout``."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -125,16 +116,40 @@ def write_got10k_submission(
         files, anno, _ = dataset[s]
         name = dataset.sequence_name(s)
         n = min(len(files), max_frames or len(files))
-        seq_dir = os.path.join(out_dir, name)
-        os.makedirs(seq_dir, exist_ok=True)
         boxes, times = run_sequence(tracker, files, anno[0], n, with_times=True)
-        with open(os.path.join(seq_dir, f"{name}_001.txt"), "w") as fh:
-            fh.write("\n".join(",".join(f"{v:.4f}" for v in b) for b in boxes))
-        with open(os.path.join(seq_dir, f"{name}_time.txt"), "w") as fh:
-            fh.write("\n".join(f"{t:.6f}" for t in times))
+        layout(out_dir, name, boxes, times)
         if verbose:
             print(f"  wrote {name}: {len(boxes)} boxes")
     return out_dir
+
+
+def _boxes_txt(boxes) -> str:
+    return "\n".join(",".join(f"{v:.4f}" for v in b) for b in boxes)
+
+
+def write_got10k_submission(
+    tracker,
+    dataset: SequenceDataset,
+    out_dir: str,
+    max_frames: Optional[int] = None,
+    verbose: bool = False,
+) -> str:
+    """GOT-10k evaluation-server format: one directory per sequence with
+    ``<seq>_001.txt`` (x,y,w,h per frame, frame 0 = the given init box) and
+    ``<seq>_time.txt`` (per-frame seconds). The test split's groundtruth has
+    only the init row, so scoring happens server-side — this writer is how
+    real GOT-10k test numbers are produced."""
+    import os
+
+    def layout(root, name, boxes, times):
+        seq_dir = os.path.join(root, name)
+        os.makedirs(seq_dir, exist_ok=True)
+        with open(os.path.join(seq_dir, f"{name}_001.txt"), "w") as fh:
+            fh.write(_boxes_txt(boxes))
+        with open(os.path.join(seq_dir, f"{name}_time.txt"), "w") as fh:
+            fh.write("\n".join(f"{t:.6f}" for t in times))
+
+    return _write_submission(tracker, dataset, out_dir, max_frames, verbose, layout)
 
 
 def write_trackingnet_submission(
@@ -146,18 +161,11 @@ def write_trackingnet_submission(
 ) -> str:
     """TrackingNet evaluation-server format: one flat ``<seq>.txt`` per
     sequence (x,y,w,h per frame, comma-separated; frame 0 = the given init
-    box), zipped flat for upload. Same run loop as the GOT-10k writer, only
-    the file layout differs."""
+    box), zipped flat for upload."""
     import os
 
-    os.makedirs(out_dir, exist_ok=True)
-    for s in range(len(dataset)):
-        files, anno, _ = dataset[s]
-        name = dataset.sequence_name(s)
-        n = min(len(files), max_frames or len(files))
-        boxes, _ = run_sequence(tracker, files, anno[0], n, with_times=True)
-        with open(os.path.join(out_dir, f"{name}.txt"), "w") as fh:
-            fh.write("\n".join(",".join(f"{v:.4f}" for v in b) for b in boxes))
-        if verbose:
-            print(f"  wrote {name}: {len(boxes)} boxes")
-    return out_dir
+    def layout(root, name, boxes, times):
+        with open(os.path.join(root, f"{name}.txt"), "w") as fh:
+            fh.write(_boxes_txt(boxes))
+
+    return _write_submission(tracker, dataset, out_dir, max_frames, verbose, layout)

@@ -51,9 +51,12 @@ class ShardedScanTracker(ScanTracker):
             )
         return self._init_jit(self.variables, frames, bboxes, mc)
 
-    def step(self, state: StreamState, frames):
+    def step(self, state: StreamState, frames, step_index=None):
         frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)
-        return self._step_jit(self.variables, state, frames)
+        idx = None
+        if step_index is not None:
+            idx = jax.numpy.asarray(step_index, jax.numpy.int32)
+        return self._step_jit(self.variables, state, frames, idx)
 
     def track(self, state: StreamState, frames, start_step: int = 0):
         frames = jax.device_put(jax.numpy.asarray(frames), self._chunk_sharding)

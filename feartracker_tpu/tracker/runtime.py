@@ -238,9 +238,13 @@ class ScanTracker:
         mc = None if mean_color is None else jnp.asarray(mean_color, jnp.float32)
         return self._init_jit(self.variables, jnp.asarray(frames), jnp.asarray(bboxes), mc)
 
-    def step(self, state: StreamState, frames) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
-        """One frame for every stream."""
-        return self._step_jit(self.variables, state, jnp.asarray(frames))
+    def step(self, state: StreamState, frames, step_index=None) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
+        """One frame for every stream.
+
+        ``step_index`` (running frame count) paces the dual-template
+        ``update_interval``; None = refresh-eligible on this frame."""
+        idx = None if step_index is None else jnp.asarray(step_index, jnp.int32)
+        return self._step_jit(self.variables, state, jnp.asarray(frames), idx)
 
     def track(self, state: StreamState, frames, start_step: int = 0) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """A chunk of frames (T, S, H, W, 3), scanned on device.

@@ -55,6 +55,7 @@ class StreamPool:
         self.auto_reinit = policy == "reinit"
         self.active = np.zeros(capacity, bool)
         self._free: List[int] = list(range(capacity))
+        self._step_count = 0  # paces the dual-template update_interval
 
         H, W = self.frame_hw
         # derive the template feature shape from a cheap probe instead of
@@ -120,7 +121,8 @@ class StreamPool:
     def step(self, frames: np.ndarray) -> Dict[str, Any]:
         """Advance all slots one frame. ``frames``: (capacity, H, W, 3) —
         inactive slots may carry anything (their outputs are masked)."""
-        self.state, out = self.tracker.step(self.state, frames)
+        self.state, out = self.tracker.step(self.state, frames, step_index=self._step_count)
+        self._step_count += 1
         result = {
             "bbox": np.asarray(out["bbox"]),
             "confidence": np.asarray(out["confidence"]),

@@ -20,6 +20,7 @@ import numpy as np
 
 from feartracker_tpu.core.geometry import bbox_iou
 from feartracker_tpu.data.dataset import ConcatDataset, get_training_datasets, read_img
+from feartracker_tpu.data.device_augs import STAGED_SEARCH_BBOX_KEY, STAGED_SEARCH_KEY
 from feartracker_tpu.data.loader import BatchLoader
 from feartracker_tpu.data.sequence import get_sequence_datasets
 from feartracker_tpu.models.fear_net import FEARNet
@@ -51,8 +52,8 @@ _DEVICE_KEYS = (
     C.TRACKER_TARGET_BBOX_KEY,
     C.TARGET_VISIBILITY_KEY,
     C.TRACKER_TARGET_AUX_IMAGE_KEY,
-    "STAGED_SEARCH",  # device-augs staged batch (data/device_augs.py)
-    "STAGED_SEARCH_BBOX",
+    STAGED_SEARCH_KEY,  # device-augs staged batch (data/device_augs.py)
+    STAGED_SEARCH_BBOX_KEY,
 )
 
 
@@ -213,7 +214,25 @@ class Trainer:
             for ds_cfg in self.config.get("train", {}).get("datasets", []):
                 ds_cfg["dynamic_template"] = True
         if self.device_augs_cfg is not None:
-            for ds_cfg in self.config.get("train", {}).get("datasets", []):
+            # one DeviceAugConfig serves the whole (concatenated) batch, so
+            # every dataset must agree on the aug-relevant geometry — the
+            # host path honors per-dataset sizes, the device path cannot
+            ds_cfgs = self.config.get("train", {}).get("datasets", [])
+            ref = self.device_augs_cfg
+            for ds_cfg in ds_cfgs:
+                sizes = ds_cfg.get("sizes", {})
+                got = (
+                    int(sizes.get("search_image_size", ref.search_size)),
+                    float(sizes.get("search_image_scale", ref.scale)),
+                    float(sizes.get("search_image_shift", ref.shift)),
+                    int(ds_cfg.get("regression_weight_label_size", ref.grid_size)),
+                )
+                want = (ref.search_size, ref.scale, ref.shift, ref.grid_size)
+                if got != want:
+                    raise ValueError(
+                        f"device_augs requires identical aug geometry across train "
+                        f"datasets; {ds_cfg.get('name', '?')!r} has {got}, expected {want}"
+                    )
                 ds_cfg["device_augs"] = True
         self.train_dataset = get_training_datasets(self.config, seed=self.config.get("seed", 0))
         self.val_datasets = get_sequence_datasets(self.config.get("val", {}).get("datasets", []))
@@ -430,6 +449,7 @@ class Trainer:
         streams = int(self.config.get("val_streams", 16))
         frame_hw = tuple(self.config.get("val_frame_hw", (360, 640)))
         max_samples = int(self.config.get("max_val_samples", 200))
+        val_percent = self.config.get("val_percent")  # sanity check / cap
         iou_threshold = 0.01
         metrics: Dict[str, float] = {}
         all_seq_means: List[float] = []
@@ -437,6 +457,7 @@ class Trainer:
             res = batched_evaluate(
                 self._batched_val_tracker, ds,
                 streams=streams, frame_hw=frame_hw, max_frames=max_samples,
+                max_sequences=int(val_percent) if val_percent else None,
             )
             seq_means = [float(np.mean(ov)) for ov in res["per_sequence"].values()]
             fails = [float(np.mean(np.asarray(ov) < iou_threshold)) for ov in res["per_sequence"].values()]
@@ -447,9 +468,13 @@ class Trainer:
                 f"valid/metrics/{ds.name}_failure_rate",
                 float(np.mean(fails)) if fails else 0.0, epoch,
             )
-        if all_seq_means:
-            metrics["box_iou"] = float(np.mean(all_seq_means))
-            self.writer.add_scalar("valid/metrics/box_iou", metrics["box_iou"], epoch)
+        if not all_seq_means:
+            # nothing scorable (e.g. test splits with init-only groundtruth):
+            # match the sequential path's {} so fit()'s monitor=None branch
+            # handles it instead of a KeyError
+            return {}
+        metrics["box_iou"] = float(np.mean(all_seq_means))
+        self.writer.add_scalar("valid/metrics/box_iou", metrics["box_iou"], epoch)
         return metrics
 
     def _update_frame_offset(self, epoch: int) -> None:

@@ -40,6 +40,8 @@ def test_trackingnet_layout(tmp_path):
             anno = tmp_path / chunk / "anno"
             anno.mkdir(exist_ok=True)
             (anno / f"{seq}.txt").write_text("1,2,10,12\n2,3,10,12\n3,4,10,12\n4,5,10,12")
+    with pytest.raises(ValueError):  # GOT-10k-ish subset must fail loudly
+        TrackingNetDataset(str(tmp_path), subset="val")
     train = TrackingNetDataset(str(tmp_path), subset="train")
     test = TrackingNetDataset(str(tmp_path), subset="test")
     assert len(train) == 2 and len(test) == 1
