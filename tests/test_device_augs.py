@@ -145,6 +145,81 @@ def test_trainer_device_augs_end_to_end(tmp_path_factory):
     assert np.isfinite(metrics["loss"]) and int(trainer.state.step) == 2
 
 
+def test_device_augs_with_dual_template(tmp_path_factory):
+    """device_augs + dual_template compose: the staged batch carries the aux
+    uint8 crop, augment_batch normalizes it, the step trains forward_dual."""
+    import pandas as pd
+
+    from feartracker_tpu.train.loop import Trainer
+    from feartracker_tpu.utils import constants as C
+    from tests.test_trainer_integration import _make_track_images
+
+    root = str(tmp_path_factory.mktemp("devaug_dual"))
+    rows = _make_track_images(root, n_tracks=2, n_frames=6)
+    pd.DataFrame(rows).to_csv(f"{root}/train.csv", index=False)
+    cfg = {
+        "platform": "", "num_devices": 1, "seed": 0,
+        "device_augs": True, "dual_template": True,
+        "model": {"name": "fear_tiny", "adjust_channels": 24, "towernum": 1},
+        "tracker": {"score_size": 8, "total_stride": 8, "instance_size": 64, "template_size": 32},
+        "optimizer": {"name": "adam", "lr": 1e-3},
+        "batch_size": 4, "num_workers": 1, "max_epochs": 1,
+        "experiment": {"folder": f"{root}/exp", "name": "DUALDEV"},
+        "train": {"datasets": [{
+            "name": "synthetic", "root": root,
+            "sizes": {"search_image_size": 64, "template_image_size": 32,
+                      "search_context": 2, "template_bbox_offset": 0.2,
+                      "search_image_shift": 8, "search_image_scale": 0.2,
+                      "context_range": 1},
+            "regression_weight_label_size": 8,
+            "sampling": {"type": "track", "data_path": f"{root}/train.csv", "negative_ratio": 0,
+                         "frame_offset": 4, "num_samples": 8, "clip_range": True},
+        }]},
+        "val": {"datasets": []},
+    }
+    trainer = Trainer(cfg)
+    trainer.setup_data()
+    item = trainer.train_dataset[0]
+    assert item[C.TRACKER_TARGET_AUX_IMAGE_KEY].dtype == np.uint8
+    trainer.setup_state(0)
+    metrics = trainer.train_epoch(0)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_device_augs_geometry_mismatch_rejected(tmp_path_factory):
+    """Two train datasets with different aug geometry must fail loudly."""
+    import pandas as pd
+
+    from feartracker_tpu.train.loop import Trainer
+    from tests.test_trainer_integration import _make_track_images
+
+    root = str(tmp_path_factory.mktemp("devaug_mismatch"))
+    rows = _make_track_images(root, n_tracks=1, n_frames=4)
+    pd.DataFrame(rows).to_csv(f"{root}/train.csv", index=False)
+    sizes = {"search_image_size": 64, "template_image_size": 32,
+             "search_context": 2, "template_bbox_offset": 0.2,
+             "search_image_shift": 8, "search_image_scale": 0.2, "context_range": 1}
+    ds = {
+        "name": "a", "root": root, "sizes": sizes,
+        "regression_weight_label_size": 8,
+        "sampling": {"type": "track", "data_path": f"{root}/train.csv", "negative_ratio": 0,
+                     "frame_offset": 4, "num_samples": 4, "clip_range": True},
+    }
+    cfg = {
+        "platform": "", "num_devices": 1, "seed": 0, "device_augs": True,
+        "model": {"name": "fear_tiny", "adjust_channels": 24, "towernum": 1},
+        "tracker": {"score_size": 8, "total_stride": 8, "instance_size": 64, "template_size": 32},
+        "optimizer": {"name": "adam", "lr": 1e-3},
+        "batch_size": 4, "num_workers": 1, "max_epochs": 1,
+        "experiment": {"folder": f"{root}/exp", "name": "MISMATCH"},
+        "train": {"datasets": [ds, {**ds, "name": "b", "sizes": {**sizes, "search_image_shift": 16}}]},
+        "val": {"datasets": []},
+    }
+    trainer = Trainer(cfg)
+    with pytest.raises(ValueError, match="identical aug geometry"):
+        trainer.setup_data()
+
+
 def test_device_augs_on_mesh(tmp_path_factory):
     """Staged batches shard over the 8-device mesh and the in-step
     augmentation decorrelates across shards (shard_map path compiles/runs)."""
