@@ -68,8 +68,21 @@ def cmd_fps(args) -> None:
     if args.protocol == "fps":
         res = F.fps_benchmark(call, sync, csv_path=args.csv)
         res["tracked_fps"] = res["fps"] * S * T
-    elif args.protocol == "online":
+        print(json.dumps(res))
+        return
+
+    # cadence/endurance protocols: pay the one-off jit compile before the
+    # timed window opens (the FPS protocol's 20-call warmup analog — without
+    # this, the first call's ~30-70 s compile counts as thousands of drops)
+    for _ in range(args.warmup_calls):
+        sync(call())
+    if args.protocol == "online":
         res = F.online_benchmark(call, sync, duration_s=args.duration, input_fps=args.input_fps, csv_path=args.csv)
+    elif args.protocol == "online_pipelined":
+        res = F.pipelined_online_benchmark(
+            call, sync, duration_s=args.duration, input_fps=args.input_fps,
+            depth=args.pipeline_depth, csv_path=args.csv,
+        )
     else:
         res = F.offline_benchmark(call, sync, duration_s=args.duration, fps=args.input_fps, csv_path=args.csv)
     print(json.dumps(res))
@@ -86,7 +99,16 @@ def cmd_eval(args) -> None:
     cfg = TrackerConfig(smooth=args.smooth)
     if args.batched and args.submit_dir:
         raise SystemExit("--submit_dir requires the sequential tracker; drop --batched")
-    if args.batched:
+    if args.supervised and (args.batched or args.submit_dir):
+        raise SystemExit("--supervised runs the sequential re-init protocol; drop --batched/--submit_dir")
+    if args.supervised:
+        from feartracker_tpu.evaluate.vot_eval import evaluate_vot
+        from feartracker_tpu.tracker.tracker import FEARTracker
+
+        model, variables = _load(args.weights_path)
+        tracker = FEARTracker(model, variables, cfg)
+        res = evaluate_vot(tracker, dataset, max_frames=args.max_frames, verbose=True)
+    elif args.batched:
         import jax.numpy as jnp
 
         from feartracker_tpu.evaluate.batched_eval import batched_evaluate
@@ -131,7 +153,10 @@ def main() -> None:
     sub.add_parser("macs")
 
     fp = sub.add_parser("fps")
-    fp.add_argument("--protocol", choices=["fps", "online", "offline"], default="fps")
+    fp.add_argument("--protocol", choices=["fps", "online", "online_pipelined", "offline"], default="fps")
+    fp.add_argument("--pipeline_depth", type=int, default=2)
+    fp.add_argument("--warmup_calls", type=int, default=1,
+                    help="un-timed calls before the online/offline protocols (compile warmup)")
     fp.add_argument("--streams", type=int, default=64)
     fp.add_argument("--chunk", type=int, default=32)
     fp.add_argument("--duration", type=float, default=30.0)
@@ -153,6 +178,8 @@ def main() -> None:
         gp.add_argument("--max_frames", type=int, default=None)
         gp.add_argument("--smooth", action="store_true")
         gp.add_argument("--batched", action="store_true", help="multi-stream scan runtime")
+        gp.add_argument("--supervised", action="store_true",
+                        help="VOT supervised protocol (re-init on failure): accuracy/robustness/EAO")
         gp.add_argument("--streams", type=int, default=64)
         gp.add_argument("--submit_dir", default=None, help="write eval-server submission files here")
 

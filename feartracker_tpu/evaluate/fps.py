@@ -150,6 +150,68 @@ def online_benchmark(
     }
 
 
+def pipelined_online_benchmark(
+    dispatch: Callable[[], Any],
+    fetch: Callable[[Any], None],
+    duration_s: float = 30.0,
+    input_fps: float = 30.0,
+    depth: int = 2,
+    csv_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Fixed-cadence serving with a bounded in-flight pipeline — the
+    TPU-native upgrade of ``online_benchmark``.
+
+    The serial protocol (the reference's OperationManager.swift:11-35
+    semantics) blocks on every call, so cadence is bounded by round-trip
+    latency. Here ``dispatch`` only enqueues (JAX dispatch is asynchronous)
+    and ``fetch`` blocks on a prior call's outputs; up to ``depth`` calls
+    ride in flight, hiding host↔device latency behind device compute. A tick
+    that would exceed ``depth`` in-flight calls blocks on the oldest first;
+    ticks missed while blocked count as dropped (same accounting as the
+    serial protocol). Recorded latency per call = dispatch → fetch complete,
+    pipeline queueing included.
+    """
+    tele = Telemetry(csv_path)
+    period = 1.0 / input_fps
+    start = time.time()
+    completed = dropped = 0
+    latencies: List[float] = []
+    inflight: List[Any] = []  # (dispatch_time, handle), oldest first
+    next_t = start
+    while time.time() - start < duration_s:
+        now = time.time()
+        if now < next_t:
+            time.sleep(next_t - now)
+        if len(inflight) >= depth:
+            t0, handle = inflight.pop(0)
+            fetch(handle)
+            lat = time.time() - t0
+            latencies.append(lat)
+            tele.record(completed, lat)
+            completed += 1
+        inflight.append((time.time(), dispatch()))
+        missed = int((time.time() - next_t) // period)
+        dropped += missed
+        next_t += period * (1 + missed)
+    for t0, handle in inflight:
+        fetch(handle)
+        lat = time.time() - t0
+        latencies.append(lat)
+        tele.record(completed, lat)
+        completed += 1
+    tele.save()
+    lat_arr = np.asarray(latencies) if latencies else np.zeros(1)
+    return {
+        "completed": float(completed),
+        "dropped": float(dropped),
+        "drop_rate": float(dropped / max(completed + dropped, 1)),
+        "latency_p50_ms": float(np.percentile(lat_arr, 50) * 1e3),
+        "latency_p99_ms": float(np.percentile(lat_arr, 99) * 1e3),
+        "depth": float(depth),
+        "duration_s": float(time.time() - start),
+    }
+
+
 def offline_benchmark(
     call: Callable[[], Any],
     sync: Callable[[Any], None],

@@ -22,17 +22,50 @@ of streams, so serving needs slot management on top of the scan runtime:
 
 All state lives in fixed-shape device arrays (slot updates are jitted
 scatter ops) — shapes never change, so nothing ever recompiles.
+
+Pipelined stepping: JAX dispatch is asynchronous — ``step_async`` returns a
+``PendingStep`` handle immediately (the pool's device state advances at
+dispatch time) and the host fetch happens in ``PendingStep.result()``. Keeping
+1–3 steps in flight hides the per-dispatch host↔device latency behind device
+compute, which is what makes fixed-cadence serving reachable on remote-
+attached accelerators (see ``evaluate/fps.pipelined_online_benchmark``).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from feartracker_tpu.tracker.runtime import ScanTracker, StreamState
+
+
+class PendingStep:
+    """An in-flight ``StreamPool`` step: device outputs not yet fetched.
+
+    ``result()`` blocks on the host fetch and applies the pool's failure
+    policy. Under the ``"reinit"`` policy the re-template happens when the
+    result is drained — with k steps in flight that is k steps after the
+    failing frame, from the frame the failure was detected on (the stale
+    window is the price of pipelining; the ``"notify"`` policy is unaffected
+    since the caller's re-init is asynchronous anyway).
+    """
+
+    def __init__(self, pool: "StreamPool", out: Dict[str, jnp.ndarray], active: np.ndarray, frames: Optional[np.ndarray]):
+        self._pool = pool
+        self._out = out
+        self._active = active
+        self._frames = frames  # retained only under the "reinit" policy
+        self._result: Optional[Dict[str, Any]] = None
+
+    def result(self) -> Dict[str, Any]:
+        if self._result is None:
+            out, self._out = self._out, None
+            self._result = self._pool._drain(out, self._active, self._frames)
+            self._frames = None
+        return self._result
 
 
 class StreamPool:
@@ -121,16 +154,31 @@ class StreamPool:
     def step(self, frames: np.ndarray) -> Dict[str, Any]:
         """Advance all slots one frame. ``frames``: (capacity, H, W, 3) —
         inactive slots may carry anything (their outputs are masked)."""
+        return self.step_async(frames).result()
+
+    def step_async(self, frames: np.ndarray) -> PendingStep:
+        """Dispatch one step without waiting for its outputs.
+
+        The pool's device state advances immediately, so further
+        ``step_async`` calls can be enqueued while earlier outputs are still
+        in flight; fetch them in dispatch order via ``PendingStep.result()``.
+        """
         self.state, out = self.tracker.step(self.state, frames, step_index=self._step_count)
         self._step_count += 1
+        return PendingStep(
+            self, out, self.active.copy(), frames if self.auto_reinit else None
+        )
+
+    def _drain(self, out, active: np.ndarray, frames: Optional[np.ndarray]) -> Dict[str, Any]:
+        """Host fetch + failure policy for one dispatched step."""
         result = {
             "bbox": np.asarray(out["bbox"]),
             "confidence": np.asarray(out["confidence"]),
-            "failure": np.asarray(out["failure"]) & self.active,
-            "active": self.active.copy(),
+            "failure": np.asarray(out["failure"]) & active,
+            "active": active,
         }
         if self.auto_reinit:
-            for slot in np.nonzero(result["failure"])[0]:
+            for slot in np.nonzero(result["failure"] & self.active)[0]:
                 sub = self.tracker._init_jit(
                     self.tracker.variables,
                     jnp.asarray(frames[slot])[None],

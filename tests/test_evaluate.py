@@ -41,6 +41,35 @@ def test_online_benchmark_drop_accounting():
     assert 0 < res["drop_rate"] < 1
 
 
+def test_pipelined_online_hides_fetch_latency():
+    """With the 'device' time hidden behind async dispatch, the pipelined
+    protocol sustains a cadence the serial protocol drops: dispatch is
+    instant, fetch blocks 25ms — serial pays 25ms/tick, pipelined (depth 2)
+    overlaps the wait with the next tick's work."""
+    import time
+
+    class Handle:
+        def __init__(self):
+            self.ready_at = time.time() + 0.025
+
+        def wait(self):
+            dt = self.ready_at - time.time()
+            if dt > 0:
+                time.sleep(dt)
+
+    res = F.pipelined_online_benchmark(
+        dispatch=Handle, fetch=lambda h: h.wait(), duration_s=0.5, input_fps=30, depth=2
+    )
+    assert res["completed"] >= 10  # ~15 ticks at 30 FPS in 0.5s, all complete
+    assert res["drop_rate"] < 0.34  # headroom for 1-core CI jitter
+    assert res["latency_p50_ms"] >= 25.0  # latency includes the device time
+
+    serial = F.online_benchmark(
+        lambda: time.sleep(0.035), sync=lambda x: None, duration_s=0.5, input_fps=30
+    )
+    assert serial["drop_rate"] > 0  # the serial protocol drops at this cadence
+
+
 def test_offline_benchmark_runs_exact_calls():
     calls = {"n": 0}
 

@@ -90,6 +90,44 @@ def test_failure_policy_selectable(tracker):
         assert changed == retemplates
 
 
+def test_pipelined_steps_match_serial(tracker):
+    """step_async with k steps in flight yields the same per-step results as
+    the blocking step() — pipelining only reorders host fetches."""
+    rng = np.random.RandomState(4)
+    seq = _frames(rng, 6)
+
+    serial = StreamPool(tracker, capacity=2, frame_hw=HW)
+    serial.add(seq[0], [40, 30, 30, 40])
+    serial_out = [serial.step(np.broadcast_to(seq[t], (2, *HW, 3))) for t in range(1, 6)]
+
+    piped = StreamPool(tracker, capacity=2, frame_hw=HW)
+    piped.add(seq[0], [40, 30, 30, 40])
+    pending = [piped.step_async(np.broadcast_to(seq[t], (2, *HW, 3))) for t in range(1, 6)]
+    piped_out = [p.result() for p in pending]
+
+    for a, b in zip(serial_out, piped_out):
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-3)
+        np.testing.assert_array_equal(a["failure"], b["failure"])
+    # result() is idempotent (cached after the first fetch)
+    assert pending[0].result() is piped_out[0]
+
+
+def test_pipelined_reinit_applies_on_drain(tracker):
+    """Under the 'reinit' policy a failure re-templates when the result is
+    drained (depth steps late by design), not at dispatch."""
+    rng = np.random.RandomState(5)
+    f = _frames(rng)[0]
+    pool = StreamPool(tracker, capacity=1, frame_hw=HW, failure_policy="reinit")
+    pool.add(f, [40, 30, 30, 40])
+    before = np.asarray(pool.state.template_feats).copy()
+    pending = pool.step_async(np.zeros((1, *HW, 3), np.float32))
+    # not yet drained: template untouched
+    np.testing.assert_allclose(np.asarray(pool.state.template_feats), before)
+    out = pending.result()
+    assert out["failure"][0]
+    assert not np.allclose(np.asarray(pool.state.template_feats), before)
+
+
 def test_pool_matches_dedicated_stream(tracker):
     """A slot tracked through the pool must produce the same trajectory as a
     1-stream ScanTracker with the same inputs."""
