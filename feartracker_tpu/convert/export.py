@@ -90,3 +90,31 @@ def load_exported(path: str):
     with open(path, "rb") as fh:
         exported = jax.export.deserialize(bytearray(fh.read()))
     return lambda *args: exported.call(*args)
+
+
+def main() -> None:
+    """CLI entry — the analog of ``python evaluate/coreml_convert.py``
+    (ref: coreml_convert.py:60-70 loads config+checkpoint and writes the
+    Model/Model_quantized pair)."""
+    import argparse
+    import json
+
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+
+    p = argparse.ArgumentParser(description="Export the two-graph StableHLO deployment pair")
+    p.add_argument("--weights_path",
+                   default="/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel")
+    p.add_argument("--out_dir", default="outputs/export")
+    p.add_argument("--no_quantize", action="store_true", help="skip the bf16 variants")
+    args = p.parse_args()
+
+    paths = export_tracker(
+        FEARNet(), load_fear_xs(args.weights_path), args.out_dir,
+        quantize=not args.no_quantize,
+    )
+    sizes = {k: os.path.getsize(v) for k, v in paths.items()}
+    print(json.dumps({"paths": paths, "bytes": sizes}))
+
+
+if __name__ == "__main__":
+    main()
