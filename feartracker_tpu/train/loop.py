@@ -123,6 +123,8 @@ class Trainer:
         opt_cfg = dict(config.get("optimizer", {}))
         sched_cfg = dict(config.get("scheduler", {}))
         opt_cfg.setdefault("warmup_steps", sched_cfg.get("warmup_steps", 0))
+        # trainer-level key, as the reference exposes it (trainer.py:59)
+        opt_cfg.setdefault("gradient_clip_val", config.get("gradient_clip_val", 0.0))
         self.tx = build_optimizer(opt_cfg)
         self.plateau = PlateauScheduler(
             mode=sched_cfg.get("mode", config.get("metric_mode", "max")),
@@ -403,7 +405,9 @@ class Trainer:
         for ds in self.val_datasets:
             n_seq = len(ds)
             if val_percent:
-                n_seq = max(1, min(n_seq, int(val_percent)))
+                # cap at val_percent sequences (floor 1) — but an EMPTY val
+                # dataset must stay empty, not get indexed
+                n_seq = min(n_seq, max(1, int(val_percent)))
             for s in range(n_seq):
                 files, anno, name = ds[s]
                 tracker.initialize(read_img(files[0]), np.asarray(anno[0], int))

@@ -50,17 +50,35 @@ def build_optimizer(config: Optional[Dict[str, Any]] = None) -> optax.GradientTr
         # linear warmup as a multiplicative schedule on top of the injected lr
         sched = optax.linear_schedule(0.0, 1.0, warmup)
         tx = optax.chain(tx, optax.scale_by_schedule(sched))
+    # global-norm gradient clipping BEFORE the update rule — the semantics of
+    # Lightning's gradient_clip_val the reference trainer exposes
+    # (ref: train/trainer.py:59, default 0 = off)
+    clip = float(config.get("gradient_clip_val", 0.0))
+    if clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     return tx
+
+
+def _hyperparams_state(opt_state):
+    """Find the inject_hyperparams state anywhere in a chained opt state
+    (clip/warmup wrappers shift its tuple position)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if isinstance(opt_state, tuple):
+        for sub in opt_state:
+            found = _hyperparams_state(sub)
+            if found is not None:
+                return found
+    return None
 
 
 def get_learning_rate(opt_state) -> float:
     """Read the injected lr out of a (possibly chained) optimizer state."""
-    state = opt_state[0] if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams") else opt_state
-    return float(state.hyperparams["learning_rate"])
+    return float(_hyperparams_state(opt_state).hyperparams["learning_rate"])
 
 
 def set_learning_rate(opt_state, lr: float):
-    state = opt_state[0] if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams") else opt_state
+    state = _hyperparams_state(opt_state)
     state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 

@@ -188,6 +188,30 @@ def test_optimizer_lr_inject_roundtrip():
     assert get_learning_rate(opt_state) == pytest.approx(1e-4)
 
 
+def test_gradient_clip_by_global_norm():
+    """gradient_clip_val (ref trainer.py:59) clips before the update rule;
+    the lr helpers still find the injected lr through the clip wrapper."""
+    from feartracker_tpu.train.optim import set_learning_rate
+
+    tx = build_optimizer({"name": "sgd", "lr": 1.0, "gradient_clip_val": 1.0})
+    params = {"w": jnp.zeros(4)}
+    opt_state = tx.init(params)
+    big_grad = {"w": jnp.full(4, 100.0)}
+    updates, opt_state = tx.update(big_grad, opt_state, params)
+    # ||update|| = lr * clip = 1.0, not lr * ||grad|| = 200
+    assert float(jnp.linalg.norm(updates["w"])) == pytest.approx(1.0, rel=1e-5)
+
+    assert get_learning_rate(opt_state) == pytest.approx(1.0)
+    opt_state = set_learning_rate(opt_state, 0.5)
+    assert get_learning_rate(opt_state) == pytest.approx(0.5)
+
+    # clip off by default: the same gradient passes through unscaled
+    tx0 = build_optimizer({"name": "sgd", "lr": 1.0})
+    st0 = tx0.init(params)
+    up0, _ = tx0.update(big_grad, st0, params)
+    assert float(jnp.linalg.norm(up0["w"])) == pytest.approx(200.0, rel=1e-5)
+
+
 def test_dual_template_train_step():
     """forward_dual trains end to end and the learned template gate moves."""
     model = tiny_model()
