@@ -32,6 +32,23 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+def prefetch_to_device(iterator: Iterator, put, depth: int = 2) -> Iterator:
+    """Apply ``put`` (a device_put/shard transfer) ``depth`` items ahead of
+    the consumer, overlapping host→device transfer with device compute —
+    JAX transfers are asynchronous, so batch t+1's upload rides behind step
+    t's execution. ``depth=1`` degenerates to eager per-item transfer;
+    each prefetched item holds device memory, so keep depth small."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    buf: List[Any] = []
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) >= depth:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)
+
+
 class BatchLoader:
     def __init__(
         self,

@@ -21,7 +21,7 @@ import numpy as np
 from feartracker_tpu.core.geometry import bbox_iou
 from feartracker_tpu.data.dataset import ConcatDataset, get_training_datasets, read_img
 from feartracker_tpu.data.device_augs import STAGED_SEARCH_BBOX_KEY, STAGED_SEARCH_KEY
-from feartracker_tpu.data.loader import BatchLoader
+from feartracker_tpu.data.loader import BatchLoader, prefetch_to_device
 from feartracker_tpu.data.sequence import get_sequence_datasets
 from feartracker_tpu.models.fear_net import FEARNet
 from feartracker_tpu.parallel import multihost
@@ -313,15 +313,24 @@ class Trainer:
         dataset_sums = DatasetAwareSums.zeros(len(self._dataset_names()))
         name_to_id = {n: i for i, n in enumerate(self._dataset_names())}
 
-        sums: Dict[str, float] = {}
-        count = 0
-        t0 = time.time()
-        for b, batch in enumerate(loader):
-            if b >= n_batches:
-                break
+        def _put(batch):
+            """Start the (async) host→device transfer of a batch's device
+            keys; prefetch_to_device calls this ahead of the consuming step
+            so the upload overlaps the previous step's compute."""
             device_batch = {k: batch[k] for k in _DEVICE_KEYS if k in batch}
             if self.mesh is not None:
                 device_batch = shard_batch(self.mesh, device_batch)
+            else:
+                device_batch = jax.device_put(device_batch)
+            return batch, device_batch
+
+        depth = int(self.config.get("device_prefetch", 2))
+        sums: Dict[str, float] = {}
+        count = 0
+        t0 = time.time()
+        for b, (batch, device_batch) in enumerate(prefetch_to_device(loader, _put, depth)):
+            if b >= n_batches:
+                break
             self.state, out = self.train_step(self.state, device_batch)
 
             scalars = {k: float(out[k]) for k in ("loss", "cls_loss", "reg_loss", "box_iou", "failure_rate")}

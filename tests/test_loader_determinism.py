@@ -65,3 +65,29 @@ def test_early_exit_stops_producer_thread():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_prefetch_to_device_order_and_depth():
+    from feartracker_tpu.data.loader import prefetch_to_device
+
+    calls = []
+
+    def put(x):
+        calls.append(x)
+        return x * 10
+
+    src = iter(range(6))
+    gen = prefetch_to_device(src, put, depth=3)
+    first = next(gen)
+    assert first == 0
+    # put ran `depth` items ahead of the consumer
+    assert calls == [0, 1, 2]
+    assert list(gen) == [10, 20, 30, 40, 50]
+    assert calls == list(range(6))
+
+    # depth=1 degenerates to eager per-item transfer; bad depth rejected
+    assert list(prefetch_to_device(iter([7]), put, depth=1)) == [70]
+    import pytest
+
+    with pytest.raises(ValueError):
+        next(prefetch_to_device(iter([1]), put, depth=0))
