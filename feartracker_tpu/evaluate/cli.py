@@ -142,6 +142,12 @@ def cmd_eval(args) -> None:
         model, variables = _load(args.weights_path)
         tracker = FEARTracker(model, variables, cfg)
         res = evaluate_tracker(tracker, dataset, max_frames=args.max_frames, verbose=True)
+    if args.report:
+        import os
+
+        os.makedirs(os.path.dirname(args.report) or ".", exist_ok=True)
+        with open(args.report, "w") as fh:
+            json.dump(res, fh, indent=1)
     print(json.dumps({k: v for k, v in res.items() if k != "per_sequence"}))
 
 
@@ -182,6 +188,8 @@ def main() -> None:
                         help="VOT supervised protocol (re-init on failure): accuracy/robustness/EAO")
         gp.add_argument("--streams", type=int, default=64)
         gp.add_argument("--submit_dir", default=None, help="write eval-server submission files here")
+        gp.add_argument("--report", default=None,
+                        help="also write the full result (incl. per-sequence) as JSON here")
 
     args = p.parse_args()
     if args.cmd == "got10k":

@@ -128,6 +128,24 @@ def test_pipelined_reinit_applies_on_drain(tracker):
     assert not np.allclose(np.asarray(pool.state.template_feats), before)
 
 
+def test_pipelined_slot_churn_uses_dispatch_snapshot(tracker):
+    """active/failure masks of an in-flight step reflect the slots active at
+    DISPATCH; slots added/removed afterwards don't retroactively change it."""
+    rng = np.random.RandomState(6)
+    f = _frames(rng)[0]
+    pool = StreamPool(tracker, capacity=3, frame_hw=HW)
+    s0 = pool.add(f, [40, 30, 30, 40])
+    pending = pool.step_async(np.broadcast_to(f, (3, *HW, 3)))
+    s1 = pool.add(f, [10, 10, 20, 20])  # joins after dispatch
+    pool.remove(s0)                     # leaves after dispatch
+    out = pending.result()
+    assert out["active"].tolist() == [True, False, False]  # dispatch snapshot
+    assert not out["failure"][s1]
+    # the next step sees the new membership
+    out2 = pool.step(np.broadcast_to(f, (3, *HW, 3)))
+    assert out2["active"].tolist() == [False, True, False]
+
+
 def test_pool_matches_dedicated_stream(tracker):
     """A slot tracked through the pool must produce the same trajectory as a
     1-stream ScanTracker with the same inputs."""
