@@ -15,20 +15,47 @@ import numpy as np
 DEFAULT_WEIGHTS = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
 
 
-def _load(weights_path: str, dtype=None):
+def _load(args, dtype=None):
+    """(model, variables) from ``--weights_path``, by format:
+    ``.mlmodel`` = the reference's CoreML export (raw-protobuf recovery),
+    ``.ckpt`` = a reference Lightning checkpoint, a directory = an Orbax
+    training checkpoint from this framework (experiment dir, checkpoints
+    root, step dir or state dir all accepted). Model geometry comes from
+    ``--model_name/--adjust_channels/--towernum`` (defaults = FEAR-XS)."""
+    import os
+
     import jax.numpy as jnp
 
-    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fbnet import TRUNKS
     from feartracker_tpu.models.fear_net import FEARNet
 
-    model = FEARNet(dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
-    return model, load_fear_xs(weights_path)
+    path = args.weights_path
+    ch, tn = args.adjust_channels, args.towernum
+    model = FEARNet(
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+        trunk_blocks=TRUNKS[args.model_name],
+        adjust_channels=ch,
+        towernum=tn,
+    )
+    if os.path.isdir(path):
+        from feartracker_tpu.train.checkpoint import load_orbax_variables
+
+        variables = load_orbax_variables(path)
+    elif path.endswith(".ckpt"):
+        from feartracker_tpu.convert.lightning import load_from_lightning
+
+        variables = load_from_lightning(path, channels=ch, towernum=tn)
+    else:
+        from feartracker_tpu.convert.fear_weights import load_fear_xs
+
+        variables = load_fear_xs(path, channels=ch, towernum=tn)
+    return model, variables
 
 
 def cmd_macs(args) -> None:
     from feartracker_tpu.evaluate.flops import track_cost
 
-    model, variables = _load(args.weights_path)
+    model, variables = _load(args)
     cost = track_cost(model, variables)
     print(json.dumps({k: v for k, v in cost.items()}))
 
@@ -40,7 +67,7 @@ def cmd_fps(args) -> None:
     from feartracker_tpu.tracker.runtime import ScanTracker
     from feartracker_tpu.utils.video import read_video
 
-    model, variables = _load(args.weights_path, dtype="bfloat16")
+    model, variables = _load(args, dtype="bfloat16")
     tracker = ScanTracker(model, variables, dtype=jnp.bfloat16,
                           dynamic_template=args.dynamic_template,
                           update_interval=args.update_interval)
@@ -105,7 +132,7 @@ def cmd_eval(args) -> None:
         from feartracker_tpu.evaluate.vot_eval import evaluate_vot
         from feartracker_tpu.tracker.tracker import FEARTracker
 
-        model, variables = _load(args.weights_path)
+        model, variables = _load(args)
         tracker = FEARTracker(model, variables, cfg)
         res = evaluate_vot(tracker, dataset, max_frames=args.max_frames, verbose=True)
     elif args.batched:
@@ -114,7 +141,7 @@ def cmd_eval(args) -> None:
         from feartracker_tpu.evaluate.batched_eval import batched_evaluate
         from feartracker_tpu.tracker.runtime import ScanTracker
 
-        model, variables = _load(args.weights_path, dtype="bfloat16")
+        model, variables = _load(args, dtype="bfloat16")
         tracker = ScanTracker(model, variables, cfg, dtype=jnp.bfloat16)
         res = batched_evaluate(
             tracker, dataset, streams=args.streams, max_frames=args.max_frames, verbose=True
@@ -129,7 +156,7 @@ def cmd_eval(args) -> None:
         writers = {"got10k": write_got10k_submission, "trackingnet": write_trackingnet_submission}
         if args.dataset not in writers:
             raise SystemExit(f"--submit_dir supports {sorted(writers)}, not {args.dataset!r}")
-        model, variables = _load(args.weights_path)
+        model, variables = _load(args)
         tracker = FEARTracker(model, variables, cfg)
         out = writers[args.dataset](
             tracker, dataset, args.submit_dir, max_frames=args.max_frames, verbose=True
@@ -139,7 +166,7 @@ def cmd_eval(args) -> None:
         from feartracker_tpu.evaluate.got10k_eval import evaluate_tracker
         from feartracker_tpu.tracker.tracker import FEARTracker
 
-        model, variables = _load(args.weights_path)
+        model, variables = _load(args)
         tracker = FEARTracker(model, variables, cfg)
         res = evaluate_tracker(tracker, dataset, max_frames=args.max_frames, verbose=True)
     if args.report:
@@ -153,7 +180,16 @@ def cmd_eval(args) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--weights_path", default=DEFAULT_WEIGHTS)
+    p.add_argument("--weights_path", default=DEFAULT_WEIGHTS,
+                   help=".mlmodel (CoreML export), .ckpt (Lightning), or an "
+                        "Orbax training-checkpoint/experiment directory")
+    # model geometry for checkpoint loading (defaults = FEAR-XS, matching the
+    # .mlmodel recovery path)
+    from feartracker_tpu.models.fbnet import TRUNKS
+
+    p.add_argument("--model_name", choices=sorted(TRUNKS), default="fear_xs")
+    p.add_argument("--adjust_channels", type=int, default=256)
+    p.add_argument("--towernum", type=int, default=2)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("macs")

@@ -81,6 +81,36 @@ class CheckpointManager:
         return type(state_like)(**restored)
 
 
+def load_orbax_variables(path: str) -> Dict[str, Any]:
+    """Load inference variables ``{"params", "batch_stats"}`` from a training
+    checkpoint written by :class:`CheckpointManager` (StandardSave of the
+    TrainState dict, so no target structure is needed to restore).
+
+    Accepts any of: the state dir itself, a ``checkpoints`` root (resolves
+    ``last/state``), an experiment dir (resolves ``checkpoints/last/state``),
+    or a managed step dir (``<root>/<step>`` — resolves its ``default``
+    item). Raises FileNotFoundError listing what was tried.
+    """
+    candidates = [
+        path,
+        os.path.join(path, "state"),
+        os.path.join(path, "default"),  # ocp.CheckpointManager step item
+        os.path.join(path, "last", "state"),
+        os.path.join(path, "checkpoints", "last", "state"),
+    ]
+    ckptr = ocp.StandardCheckpointer()
+    for cand in candidates:
+        if os.path.isdir(cand) and os.path.exists(os.path.join(cand, "_METADATA")):
+            restored = ckptr.restore(cand)
+            missing = {"params", "batch_stats"} - set(restored)
+            if missing:
+                raise ValueError(f"checkpoint at {cand} lacks {sorted(missing)}")
+            return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+    raise FileNotFoundError(
+        f"no Orbax state found; tried: {', '.join(candidates)}"
+    )
+
+
 def load_lightning_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a reference PyTorch-Lightning ``.ckpt`` and return the model's
     flat state dict (``model.`` prefix removed properly — the reference's

@@ -179,6 +179,32 @@ def test_checkpoint_restore_roundtrip(tiny_config):
     assert int(restored.step) == int(trainer.state.step)
 
 
+def test_load_orbax_variables_all_path_forms(tiny_config):
+    """The CLI's checkpoint loader resolves an experiment dir, a checkpoints
+    root, a managed step dir, and the state dir itself — params identical."""
+    import jax
+    import numpy as np
+
+    from feartracker_tpu.train.checkpoint import load_orbax_variables
+    from feartracker_tpu.train.loop import Trainer
+
+    trainer = Trainer({**tiny_config, "experiment": {**tiny_config["experiment"], "name": "ORBAX"}, "max_epochs": 1})
+    trainer.fit()
+    exp_dir = trainer.exp_dir
+    ckpt_root = trainer.ckpt.directory
+    step_dir = f"{ckpt_root}/{int(trainer.state.step)}"
+    want = jax.tree.leaves(jax.tree.map(np.asarray, trainer.state.params))
+    for path in (exp_dir, ckpt_root, step_dir, f"{ckpt_root}/last/state"):
+        v = load_orbax_variables(path)
+        assert set(v) == {"params", "batch_stats"}
+        for a, b in zip(jax.tree.leaves(v["params"]), want):
+            np.testing.assert_array_equal(np.asarray(a), b)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_orbax_variables(exp_dir + "/nope")
+
+
 def test_trainer_resume_from_last(tiny_config):
     """resume=True restores the full train state AND the epoch counter:
     max_epochs is total epochs (Lightning semantics), so a crashed 1-epoch
