@@ -1,7 +1,8 @@
 """Track one object through a video — CLI parity with the reference demo
 (ref: demo_video.py: ``python demo_video.py --initial_bbox=... --video_path=...``).
 
-Default weights come straight from the reference's released CoreML export.
+Weights: the reference's CoreML export (default), a Lightning .ckpt, or an
+Orbax training checkpoint directory from this framework.
 
 Usage:
     python demo_video.py --initial_bbox 163 53 45 174 \
@@ -24,13 +25,13 @@ def get_tracker(weights_path: str, smooth: bool = False, platform: str = ""):
         import jax
 
         jax.config.update("jax_platforms", platform)
-    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.convert.load import load_variables
     from feartracker_tpu.models.fear_net import FEARNet
     from feartracker_tpu.tracker.config import TrackerConfig
     from feartracker_tpu.tracker.tracker import FEARTracker
 
     model = FEARNet()
-    variables = load_fear_xs(weights_path)
+    variables = load_variables(weights_path)
     return FEARTracker(model, variables, TrackerConfig(smooth=smooth))
 
 
@@ -46,14 +47,14 @@ def track(tracker, frames, initial_bbox: np.ndarray) -> List[np.ndarray]:
 def track_scan(weights_path, frames, initial_bbox, smooth=False, dynamic_template=False,
                update_interval=1, chunk=32):
     """Single video through the on-device scan runtime (S=1)."""
-    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.convert.load import load_variables
     from feartracker_tpu.models.fear_net import FEARNet
     from feartracker_tpu.tracker.config import TrackerConfig
     from feartracker_tpu.tracker.runtime import ScanTracker
 
     model = FEARNet()
     tracker = ScanTracker(
-        model, load_fear_xs(weights_path), TrackerConfig(smooth=smooth),
+        model, load_variables(weights_path), TrackerConfig(smooth=smooth),
         dynamic_template=dynamic_template,
         update_interval=update_interval,
     )

@@ -1,0 +1,34 @@
+"""Format-dispatching weight loader shared by the CLIs.
+
+One entry point for every weight source a user has (the reference's
+``load_from_lighting`` covered only its own .ckpt files —
+ref: utils/torch.py:12-25):
+
+* ``.mlmodel`` — the reference's released CoreML export, recovered by the
+  raw-protobuf reader (`convert/coreml.py`);
+* ``.ckpt``    — a reference PyTorch-Lightning checkpoint;
+* a directory  — an Orbax training checkpoint from this framework
+  (experiment dir, checkpoints root, managed step dir or state dir).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+
+def load_variables(path: str, channels: int = 256, towernum: int = 2) -> Dict[str, Any]:
+    """FEARNet variables ``{"params", "batch_stats"}`` from any supported
+    weight source (see module docstring). ``channels``/``towernum`` apply to
+    the .mlmodel/.ckpt importers (Orbax checkpoints carry their structure)."""
+    if os.path.isdir(path):
+        from feartracker_tpu.train.checkpoint import load_orbax_variables
+
+        return load_orbax_variables(path)
+    if path.endswith(".ckpt"):
+        from feartracker_tpu.convert.lightning import load_from_lightning
+
+        return load_from_lightning(path, channels=channels, towernum=towernum)
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+
+    return load_fear_xs(path, channels=channels, towernum=towernum)

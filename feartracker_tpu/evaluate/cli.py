@@ -22,8 +22,6 @@ def _load(args, dtype=None):
     training checkpoint from this framework (experiment dir, checkpoints
     root, step dir or state dir all accepted). Model geometry comes from
     ``--model_name/--adjust_channels/--towernum`` (defaults = FEAR-XS)."""
-    import os
-
     import jax.numpy as jnp
 
     from feartracker_tpu.models.fbnet import TRUNKS
@@ -37,19 +35,9 @@ def _load(args, dtype=None):
         adjust_channels=ch,
         towernum=tn,
     )
-    if os.path.isdir(path):
-        from feartracker_tpu.train.checkpoint import load_orbax_variables
+    from feartracker_tpu.convert.load import load_variables
 
-        variables = load_orbax_variables(path)
-    elif path.endswith(".ckpt"):
-        from feartracker_tpu.convert.lightning import load_from_lightning
-
-        variables = load_from_lightning(path, channels=ch, towernum=tn)
-    else:
-        from feartracker_tpu.convert.fear_weights import load_fear_xs
-
-        variables = load_fear_xs(path, channels=ch, towernum=tn)
-    return model, variables
+    return model, load_variables(path, channels=ch, towernum=tn)
 
 
 def cmd_macs(args) -> None:
