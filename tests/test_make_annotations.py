@@ -84,3 +84,70 @@ def test_make_got10k_csv(got10k_tree, tmp_path):
     s.parse_samples()
     pair = s.extract_sample(0)
     assert pair["template"]["presence"] == 1
+
+
+def _run_builder(name, root, out_csv):
+    r = subprocess.run(
+        [sys.executable, "tools/make_annotations.py", name, "--root", str(root), "--out", out_csv],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr
+    import pandas as pd
+
+    return pd.read_csv(out_csv)
+
+
+def test_make_coco_csv(tmp_path):
+    import json
+
+    (tmp_path / "annotations").mkdir()
+    coco = {
+        "images": [
+            {"id": 7, "file_name": "000007.jpg", "width": 100, "height": 80},
+            {"id": 9, "file_name": "000009.jpg", "width": 64, "height": 64},
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 7, "bbox": [10, 12, 30, 25], "iscrowd": 0},
+            {"id": 2, "image_id": 7, "bbox": [50, 5, 20, 20], "iscrowd": 0},
+            {"id": 3, "image_id": 9, "bbox": [0, 0, 10, 10], "iscrowd": 1},  # crowd: dropped
+            {"id": 4, "image_id": 9, "bbox": [5, 5, 0, 7], "iscrowd": 0},    # degenerate: dropped
+        ],
+    }
+    (tmp_path / "annotations" / "instances_train2017.json").write_text(json.dumps(coco))
+    df = _run_builder("coco", tmp_path, str(tmp_path / "coco.csv"))
+    assert len(df) == 2  # crowd + degenerate dropped
+    assert df["dataset"].unique().tolist() == ["coco2017"]
+    assert (df["frame_index"] == 0).all() and (df["presence"] == 1).all()
+    assert df["track_id"].nunique() == 2  # one single-frame track per object
+    assert df.iloc[0]["img_path"] == os.path.join("train2017", "000007.jpg")
+
+
+def test_make_ilsvrc_vid_csv(tmp_path):
+    seq = "ILSVRC2015_train_00001000"
+    anno_dir = tmp_path / "Annotations" / "VID" / "train" / "a" / seq
+    anno_dir.mkdir(parents=True)
+
+    def xml(frame, objs):
+        body = "".join(
+            f"<object><trackid>{t}</trackid><occluded>{occ}</occluded>"
+            f"<bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x1+w}</xmax><ymax>{y1+h}</ymax></bndbox></object>"
+            for t, occ, x1, y1, w, h in objs
+        )
+        (anno_dir / f"{frame:06d}.xml").write_text(
+            f"<annotation><size><width>120</width><height>90</height></size>{body}</annotation>"
+        )
+
+    xml(0, [(0, 0, 10, 10, 30, 20), (1, 0, 50, 40, 20, 20)])
+    xml(1, [(0, 1, 12, 11, 30, 20)])  # track 1 absent, track 0 occluded
+    xml(2, [(0, 0, 14, 12, 30, 20), (1, 0, 55, 42, 20, 20)])
+
+    df = _run_builder("ilsvrc", tmp_path, str(tmp_path / "vid.csv"))
+    assert len(df) == 5
+    t0 = df[df["track_id"].str.endswith("/t0")]
+    t1 = df[df["track_id"].str.endswith("/t1")]
+    assert t0["frame_index"].tolist() == [0, 1, 2]
+    assert t1["frame_index"].tolist() == [0, 2]  # real frame numbers, gap kept
+    assert t0["presence"].tolist() == [1, 0, 1]  # occluded frame 1
+    assert df.iloc[0]["img_path"].endswith(os.path.join(seq, "000000.JPEG"))
+    assert df.iloc[0]["frame_shape"] == "[120, 90]"

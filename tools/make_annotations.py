@@ -3,7 +3,10 @@
 The reference requires users to hand-build per-dataset CSVs with the schema
 sequence_id, track_id, frame_index, img_path, bbox, frame_shape, dataset,
 presence, near_corner (ref: README.md:82-93) but ships no tooling. This
-tool walks GOT-10k / LaSOT style directory trees and writes that CSV.
+tool builds that CSV from standard dataset layouts: GOT-10k, LaSOT,
+TrackingNet, COCO-2017 instances (single-frame tracks) and ImageNet-VID —
+every training dataset of the reference's full_train recipe with a public
+layout (youtube_bb ships its own CSVs upstream).
 
     python tools/make_annotations.py got10k --root /data/got10k --subset train \
         --out /data/got10k/train.csv
@@ -125,7 +128,101 @@ def make_trackingnet(root: str, subset: str = "train") -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-BUILDERS = {"got10k": make_got10k, "lasot": make_lasot, "trackingnet": make_trackingnet}
+def make_coco(root: str, subset: str = "train") -> pd.DataFrame:
+    """COCO instances → one single-frame track per (non-crowd) object, the
+    reference's static-image training recipe (full_train.yaml composes
+    coco2017 through the same TrackSampler: template == search frame,
+    BBoxCropWithOffsets provides the geometry variation). Frame shapes come
+    from the JSON — no image reads."""
+    import json
+
+    anno_path = os.path.join(root, "annotations", f"instances_{subset}2017.json")
+    with open(anno_path) as fh:
+        coco = json.load(fh)
+    images = {im["id"]: im for im in coco["images"]}
+    rows = []
+    for a in coco["annotations"]:
+        if a.get("iscrowd"):
+            continue
+        bbox = [int(round(v)) for v in a["bbox"]]
+        if bbox[2] <= 0 or bbox[3] <= 0:
+            continue
+        im = images[a["image_id"]]
+        shape_wh = (im["width"], im["height"])
+        rows.append(
+            dict(
+                sequence_id=f"img{a['image_id']}",
+                track_id=f"ann{a['id']}",
+                frame_index=0,
+                img_path=os.path.join(f"{subset}2017", im["file_name"]),
+                bbox=str(bbox),
+                frame_shape=str(list(shape_wh)),
+                dataset="coco2017",
+                presence=1,
+                near_corner=_near_corner(bbox, shape_wh),
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+def make_ilsvrc_vid(root: str, subset: str = "train") -> pd.DataFrame:
+    """ImageNet-VID: Annotations/VID/<subset>/**/<seq>/NNNNNN.xml, one XML per
+    frame with zero or more <object><trackid> entries. Each (sequence,
+    trackid) becomes a track; frames where the object is absent are skipped
+    (the CSV's frame_index is the real video frame number, so frame_offset
+    windows stay time-correct); occluded frames get presence=0."""
+    import xml.etree.ElementTree as ET
+
+    anno_root = os.path.join(root, "Annotations", "VID", subset)
+    rows = []
+    seq_dirs = sorted(
+        d for d, dirs, files in os.walk(anno_root) if files and not dirs
+    )
+    for seq_dir in seq_dirs:
+        seq = os.path.relpath(seq_dir, anno_root).replace(os.sep, "/")
+        for xml_path in sorted(glob.glob(os.path.join(seq_dir, "*.xml"))):
+            frame_idx = int(os.path.splitext(os.path.basename(xml_path))[0])
+            xml = ET.parse(xml_path).getroot()
+            W = int(xml.findtext("size/width"))
+            H = int(xml.findtext("size/height"))
+            img_rel = os.path.join(
+                "Data", "VID", subset, seq,
+                os.path.splitext(os.path.basename(xml_path))[0] + ".JPEG",
+            )
+            for obj in xml.findall("object"):
+                tid = obj.findtext("trackid")
+                x1 = int(obj.findtext("bndbox/xmin"))
+                y1 = int(obj.findtext("bndbox/ymin"))
+                bbox = [
+                    x1, y1,
+                    int(obj.findtext("bndbox/xmax")) - x1,
+                    int(obj.findtext("bndbox/ymax")) - y1,
+                ]
+                if bbox[2] <= 0 or bbox[3] <= 0:
+                    continue
+                rows.append(
+                    dict(
+                        sequence_id=seq,
+                        track_id=f"{seq}/t{tid}",
+                        frame_index=frame_idx,
+                        img_path=img_rel,
+                        bbox=str(bbox),
+                        frame_shape=str([W, H]),
+                        dataset="ilsvrc",
+                        presence=int(obj.findtext("occluded", "0") == "0"),
+                        near_corner=_near_corner(bbox, (W, H)),
+                    )
+                )
+    return pd.DataFrame(rows)
+
+
+BUILDERS = {
+    "got10k": make_got10k,
+    "lasot": make_lasot,
+    "trackingnet": make_trackingnet,
+    "coco": make_coco,
+    "ilsvrc": make_ilsvrc_vid,
+}
 
 
 def main() -> None:
