@@ -169,20 +169,43 @@ class StreamPool:
             self, out, self.active.copy(), frames if self.auto_reinit else None
         )
 
+    def step_chunk(self, frames: np.ndarray) -> Dict[str, Any]:
+        """Advance all slots through a (T, capacity, H, W, 3) frame chunk on
+        device in one dispatch (`lax.scan` over T) — the serving mode for
+        remote-attached accelerators where per-frame dispatch dominates (see
+        docs/SERVING.md). Outputs carry the leading T axis."""
+        return self.step_chunk_async(frames).result()
+
+    def step_chunk_async(self, frames: np.ndarray) -> PendingStep:
+        """Dispatch a chunk without waiting; pipeline like ``step_async``."""
+        T = frames.shape[0]
+        self.state, out = self.tracker.track(
+            self.state, frames, start_step=self._step_count
+        )
+        self._step_count += T
+        return PendingStep(
+            self, out, self.active.copy(), frames if self.auto_reinit else None
+        )
+
     def _drain(self, out, active: np.ndarray, frames: Optional[np.ndarray]) -> Dict[str, Any]:
-        """Host fetch + failure policy for one dispatched step."""
+        """Host fetch + failure policy for one dispatched step (per-frame
+        outputs (capacity, ...) or chunked (T, capacity, ...))."""
         result = {
             "bbox": np.asarray(out["bbox"]),
             "confidence": np.asarray(out["confidence"]),
-            "failure": np.asarray(out["failure"]) & active,
+            "failure": np.asarray(out["failure"]) & active,  # active broadcasts over T
             "active": active,
         }
         if self.auto_reinit:
-            for slot in np.nonzero(result["failure"] & self.active)[0]:
+            # chunked: re-template from the chunk's last frame/prediction
+            failure = result["failure"][-1] if result["failure"].ndim == 2 else result["failure"]
+            bbox = result["bbox"][-1] if result["bbox"].ndim == 3 else result["bbox"]
+            last_frames = frames[-1] if frames.ndim == 5 else frames
+            for slot in np.nonzero(failure & self.active)[0]:
                 sub = self.tracker._init_jit(
                     self.tracker.variables,
-                    jnp.asarray(frames[slot])[None],
-                    jnp.asarray(result["bbox"][slot], jnp.float32)[None],
+                    jnp.asarray(last_frames[slot])[None],
+                    jnp.asarray(bbox[slot], jnp.float32)[None],
                     None,
                 )
                 self.state = self._write_slot(self.state, int(slot), sub)

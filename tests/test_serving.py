@@ -146,6 +146,38 @@ def test_pipelined_slot_churn_uses_dispatch_snapshot(tracker):
     assert out2["active"].tolist() == [False, True, False]
 
 
+def test_step_chunk_matches_per_frame(tracker):
+    """One chunked dispatch over T frames equals T per-frame steps; outputs
+    carry the leading T axis; the step counter advances by T."""
+    rng = np.random.RandomState(7)
+    seq = _frames(rng, 7)
+
+    ref = StreamPool(tracker, capacity=2, frame_hw=HW)
+    ref.add(seq[0], [40, 30, 30, 40])
+    ref_boxes = [ref.step(np.broadcast_to(seq[t], (2, *HW, 3)))["bbox"] for t in range(1, 7)]
+
+    pool = StreamPool(tracker, capacity=2, frame_hw=HW)
+    pool.add(seq[0], [40, 30, 30, 40])
+    chunk = np.stack([np.broadcast_to(seq[t], (2, *HW, 3)) for t in range(1, 7)])
+    out = pool.step_chunk(chunk)
+    assert out["bbox"].shape == (6, 2, 4)
+    assert pool._step_count == 6
+    np.testing.assert_allclose(out["bbox"], np.stack(ref_boxes), atol=1e-3)
+
+
+def test_step_chunk_reinit_uses_last_frame(tracker):
+    """Chunked 'reinit' drains re-template from the chunk's final frame."""
+    rng = np.random.RandomState(8)
+    f = _frames(rng)[0]
+    pool = StreamPool(tracker, capacity=1, frame_hw=HW, failure_policy="reinit")
+    pool.add(f, [40, 30, 30, 40])
+    before = np.asarray(pool.state.template_feats).copy()
+    chunk = np.zeros((3, 1, *HW, 3), np.float32)  # blank -> confidence collapse
+    out = pool.step_chunk(chunk)
+    assert out["failure"][-1, 0]
+    assert not np.allclose(np.asarray(pool.state.template_feats), before)
+
+
 def test_pool_matches_dedicated_stream(tracker):
     """A slot tracked through the pool must produce the same trajectory as a
     1-stream ScanTracker with the same inputs."""
