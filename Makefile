@@ -1,5 +1,20 @@
 # Common developer targets
-.PHONY: test bench demo macs entry clean
+.PHONY: test bench demo macs entry clean train-profile sweep roofline oracle export
+
+train-profile:
+	python tools/train_profile.py --batches 32,64,128,256
+
+sweep:
+	python tools/sweep_streams.py
+
+roofline:
+	python tools/roofline.py --streams 128
+
+oracle:
+	python tools/reference_oracle.py
+
+export:
+	python -m feartracker_tpu.convert.export --out_dir outputs/export
 
 test:
 	python -m pytest tests/ -q
