@@ -171,6 +171,8 @@ def pipelined_online_benchmark(
     serial protocol). Recorded latency per call = dispatch → fetch complete,
     pipeline queueing included.
     """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
     tele = Telemetry(csv_path)
     period = 1.0 / input_fps
     start = time.time()

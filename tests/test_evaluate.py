@@ -69,6 +69,9 @@ def test_pipelined_online_hides_fetch_latency():
     )
     assert serial["drop_rate"] > 0  # the serial protocol drops at this cadence
 
+    with pytest.raises(ValueError):
+        F.pipelined_online_benchmark(Handle, fetch=lambda h: None, duration_s=0.1, depth=0)
+
 
 def test_offline_benchmark_runs_exact_calls():
     calls = {"n": 0}
