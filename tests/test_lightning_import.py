@@ -129,3 +129,32 @@ def test_lightning_mapping_rejects_wrong_arch():
     sd["neck.downsample.0.weight"] = rng.randn(128, 112, 1, 1).astype(np.float32)
     with pytest.raises(AssertionError):
         lightning_to_variables(sd)
+
+
+def test_load_variables_format_dispatch(tmp_path, monkeypatch):
+    """convert.load.load_variables routes by source format: directory ->
+    Orbax, .ckpt -> Lightning, anything else -> CoreML recovery."""
+    from feartracker_tpu.convert import load as L
+
+    calls = []
+    monkeypatch.setattr(
+        "feartracker_tpu.train.checkpoint.load_orbax_variables",
+        lambda p: calls.append(("orbax", p)) or {"params": {}, "batch_stats": {}},
+    )
+    monkeypatch.setattr(
+        "feartracker_tpu.convert.lightning.load_from_lightning",
+        lambda p, channels, towernum: calls.append(("ckpt", p, channels, towernum))
+        or {"params": {}, "batch_stats": {}},
+    )
+    monkeypatch.setattr(
+        "feartracker_tpu.convert.fear_weights.load_fear_xs",
+        lambda p, channels, towernum: calls.append(("coreml", p, channels, towernum))
+        or {"params": {}, "batch_stats": {}},
+    )
+    d = tmp_path / "ckpt_dir"
+    d.mkdir()
+    L.load_variables(str(d))
+    L.load_variables("weights.ckpt", channels=48, towernum=1)
+    L.load_variables("Tracker.mlmodel")
+    assert [c[0] for c in calls] == ["orbax", "ckpt", "coreml"]
+    assert calls[1][2:] == (48, 1)
