@@ -66,6 +66,9 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--timed", type=int, default=20)
     ap.add_argument("--dual", action="store_true", help="profile the dual-template step")
+    ap.add_argument("--trace", default=None,
+                    help="capture a jax.profiler trace of 3 steps at the FIRST batch size "
+                         "(summarize with tools/parse_trace.py)")
     args = ap.parse_args()
 
     import jax
@@ -106,6 +109,14 @@ def main() -> None:
         for _ in range(args.warmup):
             state, metrics = step(state, batch)
         float(np.asarray(metrics["loss"]))  # sync
+        if args.trace:
+            from feartracker_tpu.evaluate.profiling import trace
+
+            with trace(args.trace):
+                for _ in range(3):
+                    state, metrics = step(state, batch)
+                float(np.asarray(metrics["loss"]))
+            args.trace = None  # first batch size only
         t0 = time.time()
         for _ in range(args.timed):
             state, metrics = step(state, batch)
