@@ -187,3 +187,39 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_train_multistep(step, k: int):
+    """Fuse ``k`` optimizer steps into ONE dispatch: ``lax.scan`` over batches
+    stacked on a leading (k, ...) axis.
+
+    Why: on remote-attached accelerators each dispatch costs host RPC time
+    that the state-chained train loop cannot hide (measured: 16 ms device
+    busy inside a 39 ms wall step through this environment's tunnel —
+    BENCHMARKS.md); k steps per dispatch amortize it k-fold. This is the
+    training twin of the tracking runtime's frame scan.
+
+    Args:
+      step: a train step from :func:`make_train_step` (plain or shard_map'd —
+        it inlines under the outer jit either way).
+      k: steps per dispatch (static).
+    Returns:
+      ``multi(state, batches) -> (state, metrics)`` where every ``batches``
+      leaf carries a leading (k, ...) axis and every metric leaf returns
+      stacked over it.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def multi(state: TrainState, batches):
+        return jax.lax.scan(step, state, batches, length=k)
+
+    return jax.jit(multi)
+
+
+def stack_batches(batches):
+    """Host helper: list of k batch dicts → one dict with leading (k, ...)
+    arrays (device keys only — callers filter non-array keys first)."""
+    import numpy as np
+
+    return {key: np.stack([b[key] for b in batches]) for key in batches[0]}

@@ -212,6 +212,41 @@ def test_gradient_clip_by_global_norm():
     assert float(jnp.linalg.norm(up0["w"])) == pytest.approx(200.0, rel=1e-5)
 
 
+def test_multistep_scan_matches_sequential():
+    """make_train_multistep(step, k) == k sequential step() calls: same
+    final params/opt state, per-step metrics stacked on a leading k axis."""
+    from feartracker_tpu.train.step import make_train_multistep, stack_batches
+
+    model = tiny_model()
+    # SGD: linear updates keep the comparison at float-noise level (Adam's
+    # rsqrt(v)+eps normalization amplifies benign scan-vs-standalone XLA
+    # fusion differences in the first steps)
+    tx = build_optimizer({"name": "sgd", "lr": 1e-3})
+    step = make_train_step(model, tx, spec=SPEC)
+    rng = np.random.RandomState(9)
+    batches = [_toy_batch(rng, 4, SPEC) for _ in range(3)]
+
+    s_seq = create_train_state(model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3), (1, 64, 64, 3))
+    seq_losses = []
+    for b in batches:
+        s_seq, m = step(s_seq, b)
+        seq_losses.append(float(m["loss"]))
+
+    s_multi = create_train_state(model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3), (1, 64, 64, 3))
+    multi = make_train_multistep(step, 3)
+    s_multi, metrics = multi(s_multi, stack_batches(batches))
+
+    assert int(s_multi.step) == 3
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_multi.params), jax.tree.leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_train_multistep(step, 0)
+
+
 def test_dual_template_train_step():
     """forward_dual trains end to end and the learned template gate moves."""
     model = tiny_model()

@@ -66,6 +66,8 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--timed", type=int, default=20)
     ap.add_argument("--dual", action="store_true", help="profile the dual-template step")
+    ap.add_argument("--scan_steps", type=int, default=1,
+                    help="optimizer steps fused per dispatch (make_train_multistep)")
     ap.add_argument("--trace", default=None,
                     help="capture a jax.profiler trace of 3 steps at the FIRST batch size "
                          "(summarize with tools/parse_trace.py)")
@@ -92,39 +94,48 @@ def main() -> None:
         state0 = create_train_state(model, tx, jax.random.PRNGKey(0), (1, 128, 128, 3), (1, 256, 256, 3))
 
     step = make_train_step(model, tx, dual_template=args.dual)
+    K = args.scan_steps
+    if K > 1:
+        from feartracker_tpu.train.step import make_train_multistep
+
+        step = make_train_multistep(step, K)
     rng = np.random.RandomState(0)
 
     for B in [int(b) for b in args.batches.split(",")]:
         batch = synthetic_train_batch(rng, B)
         if args.dual:
             batch[C.TRACKER_TARGET_AUX_IMAGE_KEY] = rng.rand(B, 128, 128, 3).astype(np.float32)
+        if K > 1:  # leading scan axis; same data each step (cost is data-blind)
+            batch = {k: np.broadcast_to(v, (K,) + v.shape).copy() for k, v in batch.items()}
         batch = {k: jax.device_put(v) for k, v in batch.items()}
 
         compiled = step.lower(state0, batch).compile()  # step is already jitted
         ca = compiled.cost_analysis() or {}
+        # NOTE: XLA counts a lax.scan body once — with K>1 these are per-STEP
         flops = float(ca.get("flops", 0.0))
         bytes_acc = float(ca.get("bytes accessed", 0.0))
 
         state = state0
         for _ in range(args.warmup):
             state, metrics = step(state, batch)
-        float(np.asarray(metrics["loss"]))  # sync
+        np.asarray(metrics["loss"])  # sync
         if args.trace:
             from feartracker_tpu.evaluate.profiling import trace
 
             with trace(args.trace):
                 for _ in range(3):
                     state, metrics = step(state, batch)
-                float(np.asarray(metrics["loss"]))
+                np.asarray(metrics["loss"])
             args.trace = None  # first batch size only
         t0 = time.time()
         for _ in range(args.timed):
             state, metrics = step(state, batch)
-        float(np.asarray(metrics["loss"]))  # sync with host fetch
-        dt = (time.time() - t0) / args.timed
+        np.asarray(metrics["loss"])  # sync with host fetch
+        dt = (time.time() - t0) / args.timed / K  # per optimizer step
 
         rec = {
             "batch": B,
+            "scan_steps": K,
             "step_ms": round(dt * 1e3, 2),
             "samples_per_s": round(B / dt, 1),
             "flops_per_step": flops,
