@@ -163,7 +163,18 @@ def cmd_eval(args) -> None:
         os.makedirs(os.path.dirname(args.report) or ".", exist_ok=True)
         with open(args.report, "w") as fh:
             json.dump(res, fh, indent=1)
-    print(json.dumps({k: v for k, v in res.items() if k != "per_sequence"}))
+    if args.plot:
+        if "success_curve" not in res:
+            raise SystemExit("--plot needs a success curve (AO-style eval, not --supervised/--submit_dir)")
+        import os
+
+        from feartracker_tpu.evaluate.plots import plot_success
+
+        os.makedirs(os.path.dirname(args.plot) or ".", exist_ok=True)
+        name = os.path.splitext(os.path.basename(args.weights_path.rstrip("/")))[0]
+        plot_success({name: res["success_curve"]}, args.plot,
+                     title=f"Success plot (OPE) — {args.dataset}")
+    print(json.dumps({k: v for k, v in res.items() if k not in ("per_sequence", "success_curve")}))
 
 
 def main() -> None:
@@ -214,6 +225,8 @@ def main() -> None:
         gp.add_argument("--submit_dir", default=None, help="write eval-server submission files here")
         gp.add_argument("--report", default=None,
                         help="also write the full result (incl. per-sequence) as JSON here")
+        gp.add_argument("--plot", default=None,
+                        help="write an OPE success plot (PNG) here")
 
     args = p.parse_args()
     if args.cmd == "got10k":

@@ -68,12 +68,24 @@ def evaluate_tracker(
     return summarize(seq_overlaps, seq_names)
 
 
+SUCCESS_THRESHOLDS = np.arange(0, 1.05, 0.05)
+
+
 def summarize(seq_overlaps: Sequence[np.ndarray], seq_names: Sequence[str]) -> Dict[str, Any]:
     per_seq_ao = np.array([ov.mean() for ov in seq_overlaps]) if seq_overlaps else np.zeros(0)
+    if seq_overlaps:
+        # per-sequence success rates averaged over sequences (OPE convention)
+        curve = np.mean(
+            [[(ov > t).mean() for t in SUCCESS_THRESHOLDS] for ov in seq_overlaps], axis=0
+        )
+    else:
+        curve = np.zeros_like(SUCCESS_THRESHOLDS)
     return {
         "ao": float(per_seq_ao.mean()) if len(per_seq_ao) else 0.0,
         "sr50": float(np.mean([(ov > 0.5).mean() for ov in seq_overlaps])) if seq_overlaps else 0.0,
         "sr75": float(np.mean([(ov > 0.75).mean() for ov in seq_overlaps])) if seq_overlaps else 0.0,
+        "success_curve": curve.tolist(),
+        "success_auc": float(curve.mean()),
         "per_sequence": {name: float(ao) for name, ao in zip(seq_names, per_seq_ao)},
         "num_sequences": len(seq_overlaps),
     }

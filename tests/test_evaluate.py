@@ -174,3 +174,28 @@ def test_got10k_submission_writer(tmp_path):
     )
     tn_lines = open(os.path.join(out2, "seq_a.txt")).read().strip().split("\n")
     assert tn_lines == lines
+
+
+def test_success_plot_writer(tmp_path):
+    mpl = pytest.importorskip("matplotlib")
+    from feartracker_tpu.evaluate.plots import SERIES_COLORS, plot_success
+
+    t = np.arange(0, 1.05, 0.05)
+    one = str(tmp_path / "one.png")
+    plot_success({"fear_xs": np.clip(1 - t, 0, 1)}, one)
+    many = str(tmp_path / "many.png")
+    plot_success({f"t{i}": np.clip(1 - t * (1 + i / 10), 0, 1) for i in range(8)}, many)
+    assert os.path.getsize(one) > 1000 and os.path.getsize(many) > 1000
+
+    with pytest.raises(ValueError):
+        plot_success({f"t{i}": t for i in range(9)}, str(tmp_path / "no.png"))
+    assert len(set(SERIES_COLORS)) == 8  # fixed categorical order, never cycled
+
+
+def test_summarize_includes_success_curve():
+    from feartracker_tpu.evaluate.got10k_eval import SUCCESS_THRESHOLDS, summarize
+
+    res = summarize([np.array([0.9, 0.6, 0.3])], ["s"])
+    assert len(res["success_curve"]) == len(SUCCESS_THRESHOLDS)
+    assert res["success_curve"][0] == 1.0  # all overlaps > 0
+    assert res["success_auc"] == pytest.approx(np.mean(res["success_curve"]))
