@@ -112,6 +112,54 @@ def test_eao_curve_and_interval():
     assert eao_from_segments([], None)["eao"] == 0.0
 
 
+def test_supervised_with_real_tracker(tmp_path):
+    """Integration: the real FEAR-XS tracker under the supervised protocol on
+    a VOT-layout mini dataset built from the test video, with the
+    reference-parity golden trajectory as groundtruth — near-perfect
+    accuracy, zero failures."""
+    import json
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden", "reference_trajectory.json")
+    gold = json.load(open(golden_path))
+    if not os.path.exists(gold["video"]):
+        pytest.skip("reference assets not mounted")
+    import numpy as np
+
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.tracker import FEARTracker
+    from feartracker_tpu.utils.video import read_video
+
+    n = 12
+    frames = read_video(gold["video"], max_frames=n)
+    seq = tmp_path / "seq" / "color"
+    seq.mkdir(parents=True)
+    for i, f in enumerate(frames):
+        cv2.imwrite(str(seq / f"{i+1:08d}.jpg"), f[:, :, ::-1])  # RGB -> BGR
+    rows = [np.asarray(gold["initial_bbox"], float)] + [
+        np.asarray(b, float) for b in gold["boxes"][: n - 1]
+    ]
+    with open(tmp_path / "seq" / "groundtruth.txt", "w") as fh:
+        for r in rows:
+            fh.write(",".join(f"{v:.2f}" for v in r) + "\n")
+
+    from feartracker_tpu.data.sequence import VOTDataset
+
+    dataset = VOTDataset(str(tmp_path))
+    model = FEARNet()
+    tracker = FEARTracker(
+        model,
+        load_fear_xs("/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"),
+        TrackerConfig(),
+    )
+    res = evaluate_vot(tracker, dataset, burnin=1)
+    assert res["robustness_failures"] == 0.0
+    assert res["accuracy"] > 0.9  # JPEG recompression costs a little IoU
+    assert res["num_sequences"] == 1
+
+
 def test_evaluate_vot_end_to_end(tmp_path):
     n = 12
     files = _make_seq(tmp_path, n)
