@@ -24,7 +24,7 @@ import numpy as np
 
 from feartracker_tpu.core.geometry import overlap_xywh_np
 from feartracker_tpu.data.dataset import read_img
-from feartracker_tpu.evaluate.got10k_eval import summarize
+from feartracker_tpu.evaluate.got10k_eval import precision_stats, summarize
 from feartracker_tpu.tracker.runtime import ScanTracker
 
 
@@ -57,6 +57,7 @@ def batched_evaluate(
     pool = ThreadPoolExecutor(decode_workers)
     seq_overlaps: List[np.ndarray] = []
     seq_names: List[str] = []
+    seq_precision: List[Dict[str, np.ndarray]] = []
 
     # sequences need at least an init frame + one scored frame (GOT-10k test
     # groundtruth carries only the init row — those cannot be scored locally)
@@ -125,12 +126,13 @@ def batched_evaluate(
             p = np.stack(preds[i])
             ov = _overlap(p[1:], anno[1:])
             seq_overlaps.append(ov)
+            seq_precision.append(precision_stats(p[1:], anno[1:]))
             seq_names.append(dataset.sequence_name(idxs[i]))
             if verbose:
                 print(f"  {seq_names[-1]}: AO={ov.mean():.3f} ({len(ov)} frames)")
 
     pool.shutdown()
-    return summarize(seq_overlaps, seq_names)
+    return summarize(seq_overlaps, seq_names, seq_precision)
 
 
 _overlap = overlap_xywh_np

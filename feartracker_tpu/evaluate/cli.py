@@ -163,18 +163,26 @@ def cmd_eval(args) -> None:
         os.makedirs(os.path.dirname(args.report) or ".", exist_ok=True)
         with open(args.report, "w") as fh:
             json.dump(res, fh, indent=1)
-    if args.plot:
+    if args.plot or args.plot_precision:
         if "success_curve" not in res:
-            raise SystemExit("--plot needs a success curve (AO-style eval, not --supervised/--submit_dir)")
+            raise SystemExit("--plot/--plot_precision need OPE curves (AO-style eval, not --supervised/--submit_dir)")
         import os
 
-        from feartracker_tpu.evaluate.plots import plot_success
+        from feartracker_tpu.evaluate.plots import plot_precision, plot_success
 
-        os.makedirs(os.path.dirname(args.plot) or ".", exist_ok=True)
         name = os.path.splitext(os.path.basename(args.weights_path.rstrip("/")))[0]
-        plot_success({name: res["success_curve"]}, args.plot,
-                     title=f"Success plot (OPE) — {args.dataset}")
-    print(json.dumps({k: v for k, v in res.items() if k not in ("per_sequence", "success_curve")}))
+        if args.plot:
+            os.makedirs(os.path.dirname(args.plot) or ".", exist_ok=True)
+            plot_success({name: res["success_curve"]}, args.plot,
+                         title=f"Success plot (OPE) — {args.dataset}")
+        if args.plot_precision:
+            if "precision_curve" not in res:
+                raise SystemExit("--plot_precision: no precision curve (no scored sequences)")
+            os.makedirs(os.path.dirname(args.plot_precision) or ".", exist_ok=True)
+            plot_precision({name: res["precision_curve"]}, args.plot_precision,
+                           title=f"Precision plot (OPE) — {args.dataset}")
+    curves = ("per_sequence", "success_curve", "precision_curve", "norm_precision_curve")
+    print(json.dumps({k: v for k, v in res.items() if k not in curves}))
 
 
 def main() -> None:
@@ -227,6 +235,8 @@ def main() -> None:
                         help="also write the full result (incl. per-sequence) as JSON here")
         gp.add_argument("--plot", default=None,
                         help="write an OPE success plot (PNG) here")
+        gp.add_argument("--plot_precision", default=None,
+                        help="write an OPE precision plot (PNG) here")
 
     args = p.parse_args()
     if args.cmd == "got10k":

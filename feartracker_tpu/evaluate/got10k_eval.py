@@ -25,6 +25,36 @@ def _overlap(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.asarray(box_iou_xywh(jnp.asarray(pred, jnp.float32), jnp.asarray(gt, jnp.float32)))
 
 
+def _center_error(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Per-frame euclidean center error in pixels ((N,4) xywh arrays)."""
+    pc = pred[:, :2] + pred[:, 2:] / 2
+    gc = gt[:, :2] + gt[:, 2:] / 2
+    return np.linalg.norm(pc - gc, axis=1)
+
+
+# standard OPE precision grids: pixel center error 0..50px (score read at
+# 20px, the OTB convention) and TrackingNet-style normalized center error
+# 0..0.5 (offsets scaled by the gt box size; score = curve AUC)
+PRECISION_THRESHOLDS = np.arange(0, 51, 1)
+NORM_PRECISION_THRESHOLDS = np.arange(0, 0.51, 0.01)
+
+
+def precision_stats(pred: np.ndarray, gt: np.ndarray) -> Dict[str, np.ndarray]:
+    """Per-sequence precision curves from (N,4) xywh trajectories."""
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    err = _center_error(pred, gt)
+    pc = pred[:, :2] + pred[:, 2:] / 2
+    gc = gt[:, :2] + gt[:, 2:] / 2
+    nerr = np.linalg.norm((pc - gc) / np.maximum(gt[:, 2:], 1e-6), axis=1)
+    return {
+        "precision_curve": np.array([(err <= t).mean() for t in PRECISION_THRESHOLDS]),
+        "norm_precision_curve": np.array(
+            [(nerr <= t).mean() for t in NORM_PRECISION_THRESHOLDS]
+        ),
+    }
+
+
 def run_sequence(tracker, files, init_box, n: int, with_times: bool = False):
     """Shared per-sequence trajectory loop: initialize on frame 0, update
     through frame n-1. Returns (boxes (n,4) float64, times (n,) seconds)."""
@@ -50,6 +80,7 @@ def evaluate_tracker(
     """Run the tracker over every sequence; returns AO/SR + per-sequence data."""
     seq_overlaps: List[np.ndarray] = []
     seq_names: List[str] = []
+    seq_precision: List[Dict[str, np.ndarray]] = []
     for s in range(len(dataset)):
         files, anno, _ = dataset[s]
         n = min(len(files), len(anno))
@@ -60,18 +91,24 @@ def evaluate_tracker(
         if max_frames:
             n = min(n, max_frames)
         preds, _ = run_sequence(tracker, files, anno[0], n)
-        ov = _overlap(preds[1:], np.asarray(anno[1:n], np.float64))
+        gt = np.asarray(anno[1:n], np.float64)
+        ov = _overlap(preds[1:], gt)
         seq_overlaps.append(ov)
+        seq_precision.append(precision_stats(preds[1:], gt))
         seq_names.append(dataset.sequence_name(s))
         if verbose:
             print(f"  {seq_names[-1]}: AO={ov.mean():.3f} over {len(ov)} frames")
-    return summarize(seq_overlaps, seq_names)
+    return summarize(seq_overlaps, seq_names, seq_precision)
 
 
 SUCCESS_THRESHOLDS = np.arange(0, 1.05, 0.05)
 
 
-def summarize(seq_overlaps: Sequence[np.ndarray], seq_names: Sequence[str]) -> Dict[str, Any]:
+def summarize(
+    seq_overlaps: Sequence[np.ndarray],
+    seq_names: Sequence[str],
+    seq_precision: Optional[Sequence[Dict[str, np.ndarray]]] = None,
+) -> Dict[str, Any]:
     per_seq_ao = np.array([ov.mean() for ov in seq_overlaps]) if seq_overlaps else np.zeros(0)
     if seq_overlaps:
         # per-sequence success rates averaged over sequences (OPE convention)
@@ -80,7 +117,7 @@ def summarize(seq_overlaps: Sequence[np.ndarray], seq_names: Sequence[str]) -> D
         )
     else:
         curve = np.zeros_like(SUCCESS_THRESHOLDS)
-    return {
+    res = {
         "ao": float(per_seq_ao.mean()) if len(per_seq_ao) else 0.0,
         "sr50": float(np.mean([(ov > 0.5).mean() for ov in seq_overlaps])) if seq_overlaps else 0.0,
         "sr75": float(np.mean([(ov > 0.75).mean() for ov in seq_overlaps])) if seq_overlaps else 0.0,
@@ -89,6 +126,16 @@ def summarize(seq_overlaps: Sequence[np.ndarray], seq_names: Sequence[str]) -> D
         "per_sequence": {name: float(ao) for name, ao in zip(seq_names, per_seq_ao)},
         "num_sequences": len(seq_overlaps),
     }
+    if seq_precision:
+        prec = np.mean([p["precision_curve"] for p in seq_precision], axis=0)
+        nprec = np.mean([p["norm_precision_curve"] for p in seq_precision], axis=0)
+        res.update(
+            precision_curve=prec.tolist(),
+            precision_20px=float(prec[20]),
+            norm_precision_curve=nprec.tolist(),
+            norm_precision_auc=float(nprec.mean()),
+        )
+    return res
 
 
 def ope_metrics(
@@ -99,22 +146,33 @@ def ope_metrics(
     0..1 step .05) and precision at 20px center error."""
     from feartracker_tpu.core.geometry import overlap_xywh_np
 
-    thresholds = np.arange(0, 1.05, 0.05)
     success_curves, precisions = [], []
     for pred, gt in zip(pred_boxes, gt_boxes):
         pred = np.asarray(pred, np.float64)
         gt = np.asarray(gt, np.float64)
         ov = overlap_xywh_np(pred, gt)
-        success_curves.append([(ov > t).mean() for t in thresholds])
-        pc = pred[:, :2] + pred[:, 2:] / 2
-        gc = gt[:, :2] + gt[:, 2:] / 2
-        err = np.linalg.norm(pc - gc, axis=1)
-        precisions.append((err <= 20).mean())
-    curve = np.mean(success_curves, axis=0) if success_curves else np.zeros_like(thresholds)
+        success_curves.append([(ov > t).mean() for t in SUCCESS_THRESHOLDS])
+        precisions.append(precision_stats(pred, gt))
+    curve = (
+        np.mean(success_curves, axis=0) if success_curves else np.zeros_like(SUCCESS_THRESHOLDS)
+    )
+    prec = (
+        np.mean([p["precision_curve"] for p in precisions], axis=0)
+        if precisions
+        else np.zeros_like(PRECISION_THRESHOLDS, dtype=float)
+    )
+    nprec = (
+        np.mean([p["norm_precision_curve"] for p in precisions], axis=0)
+        if precisions
+        else np.zeros_like(NORM_PRECISION_THRESHOLDS)
+    )
     return {
         "success_auc": float(curve.mean()),
         "success_curve": curve.tolist(),
-        "precision_20px": float(np.mean(precisions)) if precisions else 0.0,
+        "precision_20px": float(prec[20]),
+        "precision_curve": prec.tolist(),
+        "norm_precision_curve": nprec.tolist(),
+        "norm_precision_auc": float(nprec.mean()),
     }
 
 

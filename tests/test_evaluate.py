@@ -199,3 +199,59 @@ def test_summarize_includes_success_curve():
     assert len(res["success_curve"]) == len(SUCCESS_THRESHOLDS)
     assert res["success_curve"][0] == 1.0  # all overlaps > 0
     assert res["success_auc"] == pytest.approx(np.mean(res["success_curve"]))
+    assert "precision_curve" not in res  # only present when errors are supplied
+
+
+def test_precision_stats_and_summarize():
+    from feartracker_tpu.evaluate.got10k_eval import (
+        NORM_PRECISION_THRESHOLDS,
+        PRECISION_THRESHOLDS,
+        precision_stats,
+        summarize,
+    )
+
+    gt = np.array([[10.0, 10, 40, 40], [30, 30, 40, 40]])
+    # centers shifted by (3,4) → 5px error; normalized error 5/40 = 0.125
+    pred = gt + np.array([3.0, 4, 0, 0])
+    ps = precision_stats(pred, gt)
+    assert len(ps["precision_curve"]) == len(PRECISION_THRESHOLDS)
+    assert ps["precision_curve"][4] == 0.0 and ps["precision_curve"][5] == 1.0
+    assert len(ps["norm_precision_curve"]) == len(NORM_PRECISION_THRESHOLDS)
+    # 0.125 normalized error: threshold 0.12 fails, 0.13 passes
+    assert ps["norm_precision_curve"][12] == 0.0
+    assert ps["norm_precision_curve"][13] == 1.0
+
+    ov = np.array([0.9, 0.9])
+    res = summarize([ov], ["s"], [ps])
+    assert res["precision_20px"] == 1.0
+    assert res["precision_curve"] == ps["precision_curve"].tolist()
+    assert res["norm_precision_auc"] == pytest.approx(ps["norm_precision_curve"].mean())
+
+
+def test_ope_metrics_emits_precision_curves():
+    from feartracker_tpu.evaluate.got10k_eval import (
+        NORM_PRECISION_THRESHOLDS,
+        PRECISION_THRESHOLDS,
+        ope_metrics,
+    )
+
+    gt = [np.array([[10.0, 10, 20, 20], [30, 30, 20, 20]])]
+    res = ope_metrics(gt, gt)
+    assert len(res["precision_curve"]) == len(PRECISION_THRESHOLDS)
+    assert res["precision_curve"][0] == 1.0  # zero error at threshold 0
+    assert len(res["norm_precision_curve"]) == len(NORM_PRECISION_THRESHOLDS)
+    assert res["norm_precision_auc"] == 1.0
+
+
+def test_precision_plot_writer(tmp_path):
+    pytest.importorskip("matplotlib")
+    from feartracker_tpu.evaluate.got10k_eval import PRECISION_THRESHOLDS
+    from feartracker_tpu.evaluate.plots import plot_precision
+
+    t = np.asarray(PRECISION_THRESHOLDS, float)
+    curve = np.clip(t / 30.0, 0, 1)
+    one = str(tmp_path / "prec_one.png")
+    plot_precision({"fear_xs": curve}, one)
+    many = str(tmp_path / "prec_many.png")
+    plot_precision({f"t{i}": np.clip(t / (25 + i), 0, 1) for i in range(3)}, many)
+    assert os.path.getsize(one) > 1000 and os.path.getsize(many) > 1000
