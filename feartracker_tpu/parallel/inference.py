@@ -29,6 +29,11 @@ class ShardedScanTracker(ScanTracker):
 
     def __init__(self, *args, mesh: Mesh, **kwargs):
         super().__init__(*args, **kwargs)
+        if self.trunk_impl != "xla":
+            raise ValueError(
+                "ShardedScanTracker requires trunk_impl='xla': the fused "
+                "Pallas trunk has no partitioning rule for a sharded stream axis"
+            )
         self.mesh = mesh
         self._stream_sharding = NamedSharding(mesh, P(DATA_AXIS))
         self._chunk_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
@@ -49,18 +54,18 @@ class ShardedScanTracker(ScanTracker):
             mc = jax.device_put(
                 jax.numpy.asarray(mean_color, jax.numpy.float32), self._stream_sharding
             )
-        return self._init_jit(self.variables, frames, bboxes, mc)
+        return self._init_jit(self.variables, self._folded, frames, bboxes, mc)
 
     def step(self, state: StreamState, frames, step_index=None):
         frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)
         idx = None
         if step_index is not None:
             idx = jax.numpy.asarray(step_index, jax.numpy.int32)
-        return self._step_jit(self.variables, state, frames, idx)
+        return self._step_jit(self.variables, self._folded, state, frames, idx)
 
     def track(self, state: StreamState, frames, start_step: int = 0):
         frames = jax.device_put(jax.numpy.asarray(frames), self._chunk_sharding)
         return self._track_jit(
-            self.variables, state, frames,
+            self.variables, self._folded, state, frames,
             jax.numpy.asarray(start_step, jax.numpy.int32),
         )

@@ -73,12 +73,20 @@ class ScanTracker:
         dtype: jnp.dtype = jnp.float32,
         crop_impl: str = "mm",
         postprocess_impl: str = "xla",
+        trunk_impl: str = "xla",
     ):
         # "mm" = separable-matmul crop (MXU, fast); "gather" = index-based
         # (bit-identical reference semantics; both match to float rounding)
         self.crop_impl = crop_impl
         # "pallas" = fused single-kernel decode (TPU only); "xla" = portable
         self.postprocess_impl = postprocess_impl
+        # "fused" = folded-BN trunk with the fused IR-block Pallas kernel
+        # (ops/pallas/ir_block.py) — the expanded intermediates stay in VMEM
+        # instead of round-tripping HBM. Single-mesh-device paths only (the
+        # Pallas call has no partitioning rule for sharded stream axes).
+        if trunk_impl not in ("xla", "fused"):
+            raise ValueError(f"trunk_impl must be 'xla' or 'fused', got {trunk_impl!r}")
+        self.trunk_impl = trunk_impl
         self.model = model
         self.variables = variables
         self.config = config
@@ -100,15 +108,23 @@ class ScanTracker:
             raise ValueError(f"update_interval must be >= 1, got {update_interval}")
         self.update_interval = int(update_interval)
         self.dtype = dtype
+        self._folded = self._fold() if self.trunk_impl == "fused" else None
         # weights ride as jit arguments (device arrays), not baked constants;
         # the carried state is donated in track() (callers always rebind:
         # ``state, out = tracker.track(state, ...)``) — ~5% step time saved
         self._init_jit = jax.jit(self._init_impl)
         self._step_jit = jax.jit(self._step_impl)
-        self._track_jit = jax.jit(self._track_impl, donate_argnums=(1,))
+        self._track_jit = jax.jit(self._track_impl, donate_argnums=(2,))
+
+    def _fold(self):
+        from feartracker_tpu.ops.fused_trunk import fold_fear_net
+
+        return fold_fear_net(self.variables, tuple(self.model.trunk_blocks))
 
     def set_variables(self, variables: Dict[str, Any]) -> None:
         self.variables = variables
+        if self.trunk_impl == "fused":
+            self._folded = self._fold()
 
     # -- building blocks ---------------------------------------------------
 
@@ -126,20 +142,28 @@ class ScanTracker:
             frames.astype(jnp.float32), windows, out_size, mean_color
         )
 
-    def _template_features(self, variables, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color: jnp.ndarray) -> jnp.ndarray:
+    def _features(self, variables, folded, x: jnp.ndarray) -> jnp.ndarray:
+        """trunk + neck on a normalized crop batch, via the configured path."""
+        if folded is not None:
+            from feartracker_tpu.ops.fused_trunk import get_features_folded
+
+            return get_features_folded(x, folded, tuple(self.model.trunk_blocks))
+        return self.model.apply(variables, x, method=self.model.get_features)
+
+    def _template_features(self, variables, folded, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color: jnp.ndarray) -> jnp.ndarray:
         """Template crop (offset 0.2 → 128²) + encode (ref: fear_tracker.py:36-44)."""
         cfg = self.config
         windows = jax.vmap(extended_crop_window, (0, None))(bboxes, cfg.template_bbox_offset)
         crops = self._crop(frames, windows, cfg.template_size, mean_color)
         x = normalize_imagenet(crops).astype(self.dtype)
-        return self.model.apply(variables, x, method=self.model.get_features)
+        return self._features(variables, folded, x)
 
-    def _init_impl(self, variables, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color=None) -> StreamState:
+    def _init_impl(self, variables, folded, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color=None) -> StreamState:
         H, W = frames.shape[1], frames.shape[2]
         bboxes = clamp_bbox(bboxes.astype(jnp.float32), (H, W))
         if mean_color is None:
             mean_color = jnp.mean(frames.astype(jnp.float32), axis=(1, 2))
-        feats = self._template_features(variables, frames, bboxes, mean_color)
+        feats = self._template_features(variables, folded, frames, bboxes, mean_color)
         return StreamState(
             template_feats=feats,
             dyn_feats=feats,
@@ -149,7 +173,7 @@ class ScanTracker:
         )
 
     def _step_impl(
-        self, variables, state: StreamState, frames: jnp.ndarray, step_index=None
+        self, variables, folded, state: StreamState, frames: jnp.ndarray, step_index=None
     ) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         cfg = self.config
         H, W = frames.shape[1], frames.shape[2]
@@ -159,7 +183,14 @@ class ScanTracker:
         x = normalize_imagenet(crops).astype(self.dtype)
 
         update = state.dyn_feats if self.dynamic_template else None
-        out = self.model.apply(variables, x, state.template_feats, update, method=self.model.track)
+        if folded is not None:
+            search_features = self._features(variables, folded, x)
+            out = self.model.apply(
+                variables, state.template_feats, search_features, update,
+                method=self.model.connector,
+            )
+        else:
+            out = self.model.apply(variables, x, state.template_feats, update, method=self.model.track)
 
         prev_size = jax.vmap(crop_bbox_in_window, (0, 0, None))(state.bbox, windows, cfg.instance_size)[:, 2:]
         if self.postprocess_impl == "pallas":
@@ -187,7 +218,7 @@ class ScanTracker:
         if self.dynamic_template:
 
             def refresh(dyn):
-                cand = self._template_features(variables, frames, bbox, state.mean_color)
+                cand = self._template_features(variables, folded, frames, bbox, state.mean_color)
                 gate = (res.confidence > self.update_threshold)[:, None, None, None]
                 if self.update_mode == "gated":
                     g = jax.nn.sigmoid(variables["params"]["template_gate"]).astype(dyn.dtype)
@@ -217,14 +248,14 @@ class ScanTracker:
         }
         return new_state, outputs
 
-    def _track_impl(self, variables, state: StreamState, frames: jnp.ndarray, start_step=0):
+    def _track_impl(self, variables, folded, state: StreamState, frames: jnp.ndarray, start_step=0):
         """frames: (T, S, H, W, 3) → (state, outputs stacked over T).
 
         ``start_step`` offsets the frame indices that pace the dual-template
         ``update_interval`` cadence across chunked track() calls."""
         idx = jnp.arange(frames.shape[0]) + start_step
         return jax.lax.scan(
-            lambda c, ft: self._step_impl(variables, c, ft[0], ft[1]), state, (frames, idx)
+            lambda c, ft: self._step_impl(variables, folded, c, ft[0], ft[1]), state, (frames, idx)
         )
 
     # -- public API --------------------------------------------------------
@@ -236,7 +267,7 @@ class ScanTracker:
         ref fear_tracker.py:27 — callers feeding letterboxed frames should
         pass the mean of the real image region)."""
         mc = None if mean_color is None else jnp.asarray(mean_color, jnp.float32)
-        return self._init_jit(self.variables, jnp.asarray(frames), jnp.asarray(bboxes), mc)
+        return self._init_jit(self.variables, self._folded, jnp.asarray(frames), jnp.asarray(bboxes), mc)
 
     def step(self, state: StreamState, frames, step_index=None) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """One frame for every stream.
@@ -244,7 +275,7 @@ class ScanTracker:
         ``step_index`` (running frame count) paces the dual-template
         ``update_interval``; None = refresh-eligible on this frame."""
         idx = None if step_index is None else jnp.asarray(step_index, jnp.int32)
-        return self._step_jit(self.variables, state, jnp.asarray(frames), idx)
+        return self._step_jit(self.variables, self._folded, state, jnp.asarray(frames), idx)
 
     def track(self, state: StreamState, frames, start_step: int = 0) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """A chunk of frames (T, S, H, W, 3), scanned on device.
@@ -257,5 +288,6 @@ class ScanTracker:
         Always rebind: ``state, out = tracker.track(state, frames)``.
         """
         return self._track_jit(
-            self.variables, state, jnp.asarray(frames), jnp.asarray(start_step, jnp.int32)
+            self.variables, self._folded, state, jnp.asarray(frames),
+            jnp.asarray(start_step, jnp.int32),
         )

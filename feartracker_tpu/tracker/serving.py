@@ -95,6 +95,7 @@ class StreamPool:
         # config arithmetic (stride conventions vary across model configs)
         probe = tracker._template_features(
             tracker.variables,
+            tracker._folded,
             jnp.zeros((1, H, W, 3)),
             jnp.zeros((1, 4)) + jnp.asarray([0.0, 0.0, 8.0, 8.0]),
             jnp.zeros((1, 3)),
@@ -131,6 +132,7 @@ class StreamPool:
         slot = self._free.pop(0)
         sub = self.tracker._init_jit(
             self.tracker.variables,
+            self.tracker._folded,
             jnp.asarray(frame)[None],
             jnp.asarray(np.asarray(bbox, np.float32))[None],
             None,
@@ -204,6 +206,7 @@ class StreamPool:
             for slot in np.nonzero(failure & self.active)[0]:
                 sub = self.tracker._init_jit(
                     self.tracker.variables,
+                    self.tracker._folded,
                     jnp.asarray(last_frames[slot])[None],
                     jnp.asarray(bbox[slot], jnp.float32)[None],
                     None,

@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--profile-dir", default=None, help="jax.profiler trace for each S")
     ap.add_argument("--memory", action="store_true", help="print compiled memory analysis")
+    ap.add_argument("--trunk_impl", default="xla", choices=["xla", "fused"],
+                    help="'fused' = fused IR-block Pallas trunk")
     args = ap.parse_args()
 
     import jax
@@ -47,8 +49,8 @@ def main() -> None:
 
     s_values = [int(s) for s in args.streams.split(",")]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    tracker, provenance = build_scan_tracker(TRACKER_ML, dtype=dtype)
-    print(f"[setup] weights: {provenance}")
+    tracker, provenance = build_scan_tracker(TRACKER_ML, dtype=dtype, trunk_impl=args.trunk_impl)
+    print(f"[setup] weights: {provenance}, trunk: {args.trunk_impl}")
 
     def run_one(S: int, warm: int) -> list:
         """Set up S streams (device-resident), warm, return per-repeat
