@@ -243,6 +243,31 @@ def test_ope_metrics_emits_precision_curves():
     assert res["norm_precision_auc"] == 1.0
 
 
+def test_multi_tracker_report(tmp_path):
+    pytest.importorskip("matplotlib")
+    import json
+
+    from feartracker_tpu.evaluate.got10k_eval import precision_stats, summarize
+    from feartracker_tpu.evaluate.report import write_report
+
+    rng = np.random.RandomState(0)
+    results = {}
+    for name, spread in (("fear_xs", 2.0), ("tuned", 1.0)):
+        gt = np.abs(rng.randn(12, 4)) * 30 + np.array([20, 20, 30, 30])
+        pred = gt + rng.randn(12, 4) * spread
+        from feartracker_tpu.core.geometry import overlap_xywh_np
+
+        results[name] = summarize(
+            [overlap_xywh_np(pred, gt)], ["seq"], [precision_stats(pred, gt)]
+        )
+    paths = write_report(results, str(tmp_path / "rep"))
+    perf = json.load(open(paths["performance"]))
+    assert set(perf) == {"fear_xs", "tuned"}
+    assert perf["tuned"]["overall"]["success_auc"] >= perf["fear_xs"]["overall"]["success_auc"]
+    assert os.path.getsize(paths["success_plot"]) > 1000
+    assert os.path.getsize(paths["precision_plot"]) > 1000
+
+
 def test_precision_plot_writer(tmp_path):
     pytest.importorskip("matplotlib")
     from feartracker_tpu.evaluate.got10k_eval import PRECISION_THRESHOLDS
