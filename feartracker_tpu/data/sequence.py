@@ -1,4 +1,4 @@
-"""Validation/eval sequence datasets: GOT-10k, LaSOT, NFS, VOT, TrackingNet.
+"""Validation/eval sequence datasets: GOT-10k, LaSOT, NFS, OTB, VOT, TrackingNet.
 
 Replaces the reference's dependency on the ``got10k`` toolkit
 (ref: model_training/dataset/__init__.py:17-45 ``SequenceDatasetWrapper``):
@@ -190,10 +190,35 @@ class TrackingNetDataset(SequenceDataset):
                 self._sequences.append((seq, files, _read_gt(anno_path)[:, :4]))
 
 
+class OTBDataset(SequenceDataset):
+    """OTB-50/100 layout: root/{Seq}/img/####.jpg + groundtruth_rect.txt
+    (xywh per line, comma/tab separated; some sequences ship multiple
+    ``groundtruth_rect.N.txt`` variants — the base file is used)."""
+
+    name = "otb"
+
+    def __init__(self, root_dir: str):
+        super().__init__()
+        for gt_path in sorted(glob.glob(os.path.join(root_dir, "*", "groundtruth_rect.txt"))):
+            seq_dir = os.path.dirname(gt_path)
+            files = sorted(glob.glob(os.path.join(seq_dir, "img", "*.jpg")))
+            if not files:
+                continue
+            anno = _read_gt(gt_path)[:, :4]
+            # a few OTB sequences have more frames than annotation rows
+            # (e.g. David is annotated from frame 300): keep the trailing
+            # len(anno) frames; conversely truncate extra annotation rows
+            if len(files) > len(anno):
+                files = files[len(files) - len(anno) :]
+            anno = anno[: len(files)]
+            self._sequences.append((os.path.basename(seq_dir), files, anno))
+
+
 DATASET_REGISTRY = {
     "got10k": GOT10kDataset,
     "lasot": LaSOTDataset,
     "nfs": NfSDataset,
+    "otb": OTBDataset,
     "vot": VOTDataset,
     "trackingnet": TrackingNetDataset,
 }

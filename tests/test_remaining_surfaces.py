@@ -27,6 +27,31 @@ def test_lasot_layout(tmp_path):
     np.testing.assert_array_equal(anno[1], [2, 3, 10, 12])
 
 
+def test_otb_layout(tmp_path):
+    from feartracker_tpu.data.sequence import DATASET_REGISTRY, OTBDataset
+
+    seq = tmp_path / "Basketball"
+    (seq / "img").mkdir(parents=True)
+    for i in range(4):
+        _img(str(seq / "img" / f"{i+1:04d}.jpg"))
+    (seq / "groundtruth_rect.txt").write_text("198,214,34,81\n197,214,34,81\n195,214,34,81\n194,214,34,81")
+    # David-style: more frames than annotation rows → trailing frames kept
+    seq2 = tmp_path / "David"
+    (seq2 / "img").mkdir(parents=True)
+    for i in range(5):
+        _img(str(seq2 / "img" / f"{i+1:04d}.jpg"))
+    (seq2 / "groundtruth_rect.txt").write_text("10\t20\t30\t40\n11\t20\t30\t40")
+    ds = OTBDataset(str(tmp_path))
+    assert len(ds) == 2 and DATASET_REGISTRY["otb"] is OTBDataset
+    names = {ds.sequence_name(i): i for i in range(2)}
+    files, anno, name = ds[names["Basketball"]]
+    assert name == "otb" and len(files) == 4
+    np.testing.assert_array_equal(anno[0], [198, 214, 34, 81])
+    files2, anno2, _ = ds[names["David"]]
+    assert len(files2) == 2 and files2[0].endswith("0004.jpg")
+    np.testing.assert_array_equal(anno2[1], [11, 20, 30, 40])
+
+
 def test_trackingnet_layout(tmp_path):
     from feartracker_tpu.data.sequence import TrackingNetDataset
 
