@@ -58,7 +58,8 @@ def cmd_fps(args) -> None:
     model, variables = _load(args, dtype="bfloat16")
     tracker = ScanTracker(model, variables, dtype=jnp.bfloat16,
                           dynamic_template=args.dynamic_template,
-                          update_interval=args.update_interval)
+                          update_interval=args.update_interval,
+                          trunk_impl=args.trunk_impl)
     S, T = args.streams, args.chunk
     try:
         video = read_video(args.video_path, max_frames=T + 1)
@@ -214,6 +215,9 @@ def main() -> None:
     fp.add_argument("--csv", default=None)
     fp.add_argument("--dynamic_template", action="store_true")
     fp.add_argument("--update_interval", type=int, default=1)
+    fp.add_argument("--trunk_impl", choices=["xla", "fused"], default="xla",
+                    help="'fused' = fused IR-block Pallas trunk (opt-in; "
+                         "measured slower than XLA on v5e — see BENCHMARKS.md)")
 
     from feartracker_tpu.data.sequence import DATASET_REGISTRY
 
