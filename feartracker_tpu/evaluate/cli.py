@@ -133,7 +133,8 @@ def cmd_eval(args) -> None:
         model, variables = _load(args, dtype="bfloat16")
         tracker = ScanTracker(model, variables, cfg, dtype=jnp.bfloat16)
         res = batched_evaluate(
-            tracker, dataset, streams=args.streams, max_frames=args.max_frames, verbose=True
+            tracker, dataset, streams=args.streams, max_frames=args.max_frames,
+            max_sequences=args.max_sequences, verbose=True,
         )
     elif args.submit_dir:
         from feartracker_tpu.evaluate.got10k_eval import (
@@ -157,7 +158,10 @@ def cmd_eval(args) -> None:
 
         model, variables = _load(args)
         tracker = FEARTracker(model, variables, cfg)
-        res = evaluate_tracker(tracker, dataset, max_frames=args.max_frames, verbose=True)
+        res = evaluate_tracker(
+            tracker, dataset, max_frames=args.max_frames,
+            max_sequences=args.max_sequences, verbose=True,
+        )
     if args.report:
         import os
 
@@ -229,6 +233,7 @@ def main() -> None:
         gp.add_argument("--root", required=True)
         gp.add_argument("--subset", default="val")
         gp.add_argument("--max_frames", type=int, default=None)
+        gp.add_argument("--max_sequences", type=int, default=None)
         gp.add_argument("--smooth", action="store_true")
         gp.add_argument("--batched", action="store_true", help="multi-stream scan runtime")
         gp.add_argument("--supervised", action="store_true",

@@ -75,13 +75,15 @@ def evaluate_tracker(
     tracker,
     dataset: SequenceDataset,
     max_frames: Optional[int] = None,
+    max_sequences: Optional[int] = None,
     verbose: bool = False,
 ) -> Dict[str, Any]:
-    """Run the tracker over every sequence; returns AO/SR + per-sequence data."""
+    """Run the tracker over every sequence (or the first ``max_sequences``);
+    returns AO/SR/precision + per-sequence data."""
     seq_overlaps: List[np.ndarray] = []
     seq_names: List[str] = []
     seq_precision: List[Dict[str, np.ndarray]] = []
-    for s in range(len(dataset)):
+    for s in range(min(len(dataset), max_sequences) if max_sequences else len(dataset)):
         files, anno, _ = dataset[s]
         n = min(len(files), len(anno))
         if n < 2:  # e.g. GOT-10k test: groundtruth has only the init row

@@ -44,10 +44,15 @@ def _draw_object(img, rng, cx, cy, w, h, color, kind):
     return [x1, y1, x2 - x1, y2 - y1]
 
 
-def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractors=2):
+def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractors=2,
+                   appearance_drift=0.0):
+    """``appearance_drift`` ∈ [0, 1]: the object's color linearly morphs to a
+    second random color over the track (0 = static appearance + small jitter
+    only) — the regime the dual-template update exists for."""
     h, w = size
     bg = _textured_background(rng, size)
     color = tuple(int(c) for c in rng.randint(120, 255, 3))
+    color2 = tuple(int(c) for c in rng.randint(60, 255, 3))
     kind = int(rng.randint(3))
     cx, cy = rng.uniform(0.3 * w, 0.7 * w), rng.uniform(0.3 * h, 0.7 * h)
     ow, oh = rng.uniform(24, 48), rng.uniform(24, 48)
@@ -68,7 +73,9 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
         scale = 1.0 + 0.25 * np.sin(f / 6.0)
         cxf = np.clip(cx + vx * f, 0.15 * w, 0.85 * w)
         cyf = np.clip(cy + vy * f, 0.15 * h, 0.85 * h)
-        jitter = tuple(int(np.clip(c + rng.randint(-10, 11), 0, 255)) for c in color)
+        t_drift = appearance_drift * f / max(n_frames - 1, 1)
+        base = tuple((1 - t_drift) * a + t_drift * b for a, b in zip(color, color2))
+        jitter = tuple(int(np.clip(c + rng.randint(-10, 11), 0, 255)) for c in base)
         bbox = _draw_object(img, rng, cxf, cyf, ow * scale, oh * scale, jitter, kind)
         path = f"{track_id}_f{f:04d}.jpg"
         cv2.imwrite(os.path.join(out_dir, path), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
@@ -83,13 +90,15 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
     return rows
 
 
-def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224)):
+def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224),
+             appearance_drift=0.0):
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
     rows = []
     for t in range(tracks):
-        rows += generate_track(rng, img_dir, f"track{t:04d}", frames, size=size)
+        rows += generate_track(rng, img_dir, f"track{t:04d}", frames, size=size,
+                               appearance_drift=appearance_drift)
     df = pd.DataFrame(rows)
     df["img_path"] = "images/" + df["img_path"]
     csv_path = os.path.join(root, "train.csv")
@@ -103,7 +112,8 @@ def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224
         seq = f"GOT-10k_Val_{s:06d}"
         seq_dir = os.path.join(val_base, seq)
         os.makedirs(seq_dir, exist_ok=True)
-        vrows = generate_track(rng, seq_dir, seq, frames, size=size)
+        vrows = generate_track(rng, seq_dir, seq, frames, size=size,
+                               appearance_drift=appearance_drift)
         gt = []
         for i, r in enumerate(vrows):
             src = os.path.join(seq_dir, r["img_path"])
@@ -125,11 +135,13 @@ def main():
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--val_sequences", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--appearance_drift", type=float, default=0.0,
+                   help="0..1: object color morphs to a second color over the track")
     p.add_argument("--height", type=int, default=160)
     p.add_argument("--width", type=int, default=224)
     args = p.parse_args()
     csv_path = generate(args.root, args.tracks, args.frames, args.val_sequences, args.seed,
-                    size=(args.height, args.width))
+                    size=(args.height, args.width), appearance_drift=args.appearance_drift)
     print(f"wrote {csv_path} + val sequences under {args.root}/got10k/val")
 
 
