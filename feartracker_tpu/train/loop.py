@@ -481,6 +481,11 @@ class Trainer:
                 f"valid/metrics/{ds.name}_failure_rate",
                 float(np.mean(fails)) if fails else 0.0, epoch,
             )
+            if "precision_20px" in res:
+                metrics[f"{ds.name}_precision_20px"] = float(res["precision_20px"])
+                self.writer.add_scalar(
+                    f"valid/metrics/{ds.name}_precision_20px", res["precision_20px"], epoch
+                )
         if not all_seq_means:
             # nothing scorable (e.g. test splits with init-only groundtruth):
             # match the sequential path's {} so fit()'s monitor=None branch
