@@ -267,13 +267,11 @@ def fused_ir_block(
     Hout, Wout = H // s, W // s
     residual = allow_residual and s == 1 and Cin == Cout
 
-    s_tile = pick_s_tile(S, H, W, Cin, Ce, Cout, k, s, cdtype)
-    if s_tile == 0:
-        raise ValueError(
-            f"fused_ir_block: block {spec} at input {x.shape} exceeds the "
-            f"VMEM budget even at one stream per program (gate with "
-            f"fused_trunk.fused_eligible)"
-        )
+    # 0 = the estimator says this does not fit even at one stream per
+    # program; production callers gate with fused_trunk.fused_eligible —
+    # proceed at s_tile=1 anyway so the estimate can be probed empirically
+    # (Mosaic raises a scoped-VMEM error at compile time if it truly fails)
+    s_tile = pick_s_tile(S, H, W, Cin, Ce, Cout, k, s, cdtype) or 1
 
     weights = []
     if s == 2:

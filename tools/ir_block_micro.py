@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--blocks", default=None, help="comma list of block ids (default: all)")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--force", action="store_true",
+                    help="time the kernel even when fused_eligible gates it out")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +89,7 @@ def main():
         eligible = fused_eligible(sp, x.shape, dtype)
         row = {"block": i, "spec": tuple(sp), "in": f"{H}x{H}x{C}", "eligible": bool(eligible)}
         row["xla_ms"] = round(timed_apply(xla_ir_block, x, blk, sp), 3)
-        if eligible:
+        if eligible or (args.force and sp.expansion > 1):
             row["fused_ms"] = round(
                 timed_apply(lambda x, b, s: fused_ir_block(x, b, s), x, blk, sp), 3
             )
