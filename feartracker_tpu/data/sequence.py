@@ -192,26 +192,37 @@ class TrackingNetDataset(SequenceDataset):
 
 class OTBDataset(SequenceDataset):
     """OTB-50/100 layout: root/{Seq}/img/####.jpg + groundtruth_rect.txt
-    (xywh per line, comma/tab separated; some sequences ship multiple
-    ``groundtruth_rect.N.txt`` variants — the base file is used)."""
+    (xywh per line, comma/tab separated). Sequences that ship only numbered
+    ``groundtruth_rect.N.txt`` variants (multiple targets in one video —
+    Jogging, Skating2, Human4) yield one sequence per variant, named
+    ``{Seq}.N`` as the got10k toolkit does."""
 
     name = "otb"
 
     def __init__(self, root_dir: str):
         super().__init__()
-        for gt_path in sorted(glob.glob(os.path.join(root_dir, "*", "groundtruth_rect.txt"))):
-            seq_dir = os.path.dirname(gt_path)
+        for seq_dir in sorted(glob.glob(os.path.join(root_dir, "*"))):
+            if not os.path.isdir(seq_dir):
+                continue
             files = sorted(glob.glob(os.path.join(seq_dir, "img", "*.jpg")))
             if not files:
                 continue
-            anno = _read_gt(gt_path)[:, :4]
-            # a few OTB sequences have more frames than annotation rows
-            # (e.g. David is annotated from frame 300): keep the trailing
-            # len(anno) frames; conversely truncate extra annotation rows
-            if len(files) > len(anno):
-                files = files[len(files) - len(anno) :]
-            anno = anno[: len(files)]
-            self._sequences.append((os.path.basename(seq_dir), files, anno))
+            seq = os.path.basename(seq_dir)
+            base = os.path.join(seq_dir, "groundtruth_rect.txt")
+            if os.path.exists(base):
+                variants = [(seq, base)]
+            else:
+                variants = [
+                    (f"{seq}.{os.path.basename(p).split('.')[-2]}", p)
+                    for p in sorted(glob.glob(os.path.join(seq_dir, "groundtruth_rect.*.txt")))
+                ]
+            for name, gt_path in variants:
+                anno = _read_gt(gt_path)[:, :4]
+                # a few OTB sequences have more frames than annotation rows
+                # (e.g. David is annotated from frame 300): keep the trailing
+                # len(anno) frames; conversely truncate extra annotation rows
+                sfiles = files[len(files) - len(anno) :] if len(files) > len(anno) else files
+                self._sequences.append((name, sfiles, anno[: len(sfiles)]))
 
 
 DATASET_REGISTRY = {

@@ -25,11 +25,9 @@ def _overlap(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.asarray(box_iou_xywh(jnp.asarray(pred, jnp.float32), jnp.asarray(gt, jnp.float32)))
 
 
-def _center_error(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    """Per-frame euclidean center error in pixels ((N,4) xywh arrays)."""
-    pc = pred[:, :2] + pred[:, 2:] / 2
-    gc = gt[:, :2] + gt[:, 2:] / 2
-    return np.linalg.norm(pc - gc, axis=1)
+def _center_offsets(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Per-frame (dx, dy) center offsets ((N,4) xywh arrays → (N,2))."""
+    return (pred[:, :2] + pred[:, 2:] / 2) - (gt[:, :2] + gt[:, 2:] / 2)
 
 
 # standard OPE precision grids: pixel center error 0..50px (score read at
@@ -43,10 +41,9 @@ def precision_stats(pred: np.ndarray, gt: np.ndarray) -> Dict[str, np.ndarray]:
     """Per-sequence precision curves from (N,4) xywh trajectories."""
     pred = np.asarray(pred, np.float64)
     gt = np.asarray(gt, np.float64)
-    err = _center_error(pred, gt)
-    pc = pred[:, :2] + pred[:, 2:] / 2
-    gc = gt[:, :2] + gt[:, 2:] / 2
-    nerr = np.linalg.norm((pc - gc) / np.maximum(gt[:, 2:], 1e-6), axis=1)
+    off = _center_offsets(pred, gt)
+    err = np.linalg.norm(off, axis=1)
+    nerr = np.linalg.norm(off / np.maximum(gt[:, 2:], 1e-6), axis=1)
     return {
         "precision_curve": np.array([(err <= t).mean() for t in PRECISION_THRESHOLDS]),
         "norm_precision_curve": np.array(
@@ -78,12 +75,15 @@ def evaluate_tracker(
     max_sequences: Optional[int] = None,
     verbose: bool = False,
 ) -> Dict[str, Any]:
-    """Run the tracker over every sequence (or the first ``max_sequences``);
-    returns AO/SR/precision + per-sequence data."""
+    """Run the tracker over every sequence (or the first ``max_sequences``
+    *scorable* ones — unscorable init-only sequences don't count, matching
+    batched_evaluate); returns AO/SR/precision + per-sequence data."""
     seq_overlaps: List[np.ndarray] = []
     seq_names: List[str] = []
     seq_precision: List[Dict[str, np.ndarray]] = []
-    for s in range(min(len(dataset), max_sequences) if max_sequences else len(dataset)):
+    for s in range(len(dataset)):
+        if max_sequences and len(seq_overlaps) >= max_sequences:
+            break
         files, anno, _ = dataset[s]
         n = min(len(files), len(anno))
         if n < 2:  # e.g. GOT-10k test: groundtruth has only the init row

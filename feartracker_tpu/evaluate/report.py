@@ -53,6 +53,10 @@ def write_report(results: Dict[str, Dict[str, Any]], out_dir: str) -> Dict[str, 
     ranked = sorted(
         results.items(), key=lambda kv: kv[1].get("success_auc", 0.0), reverse=True
     )
+    if len(ranked) > 8:  # plots carry ≤8 series: keep the top-8 by AUC
+        print(f"[report] plotting top 8 of {len(ranked)} trackers by success AUC "
+              f"(all appear in {PERFORMANCE_JSON})")
+        ranked = ranked[:8]
     succ = {n: r["success_curve"] for n, r in ranked if "success_curve" in r}
     if succ:
         paths["success_plot"] = plot_success(succ, os.path.join(out_dir, SUCCESS_PNG))

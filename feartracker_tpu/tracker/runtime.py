@@ -183,14 +183,13 @@ class ScanTracker:
         x = normalize_imagenet(crops).astype(self.dtype)
 
         update = state.dyn_feats if self.dynamic_template else None
-        if folded is not None:
-            search_features = self._features(variables, folded, x)
-            out = self.model.apply(
-                variables, state.template_feats, search_features, update,
-                method=self.model.connector,
-            )
-        else:
-            out = self.model.apply(variables, x, state.template_feats, update, method=self.model.track)
+        # model.track ≡ get_features + connector; composing through
+        # _features keeps one code path for both trunk impls
+        search_features = self._features(variables, folded, x)
+        out = self.model.apply(
+            variables, state.template_feats, search_features, update,
+            method=self.model.connector,
+        )
 
         prev_size = jax.vmap(crop_bbox_in_window, (0, 0, None))(state.bbox, windows, cfg.instance_size)[:, 2:]
         if self.postprocess_impl == "pallas":

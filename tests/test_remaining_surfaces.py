@@ -41,9 +41,18 @@ def test_otb_layout(tmp_path):
     for i in range(5):
         _img(str(seq2 / "img" / f"{i+1:04d}.jpg"))
     (seq2 / "groundtruth_rect.txt").write_text("10\t20\t30\t40\n11\t20\t30\t40")
+    # Jogging-style: only numbered variants → one sequence per target
+    seq3 = tmp_path / "Jogging"
+    (seq3 / "img").mkdir(parents=True)
+    for i in range(3):
+        _img(str(seq3 / "img" / f"{i+1:04d}.jpg"))
+    (seq3 / "groundtruth_rect.1.txt").write_text("1,2,10,10\n2,2,10,10\n3,2,10,10")
+    (seq3 / "groundtruth_rect.2.txt").write_text("5,6,12,12\n6,6,12,12\n7,6,12,12")
     ds = OTBDataset(str(tmp_path))
-    assert len(ds) == 2 and DATASET_REGISTRY["otb"] is OTBDataset
-    names = {ds.sequence_name(i): i for i in range(2)}
+    assert len(ds) == 4 and DATASET_REGISTRY["otb"] is OTBDataset
+    names = {ds.sequence_name(i): i for i in range(len(ds))}
+    assert {"Jogging.1", "Jogging.2"} <= set(names)
+    np.testing.assert_array_equal(ds[names["Jogging.2"]][1][0], [5, 6, 12, 12])
     files, anno, name = ds[names["Basketball"]]
     assert name == "otb" and len(files) == 4
     np.testing.assert_array_equal(anno[0], [198, 214, 34, 81])
