@@ -199,3 +199,24 @@ def test_pool_matches_dedicated_stream(tracker):
         single_boxes.append(np.asarray(out["bbox"])[0])
 
     np.testing.assert_allclose(np.asarray(pool_boxes), np.asarray(single_boxes), atol=1e-3)
+
+
+def test_pool_on_sharded_tracker_matches_single_device(tracker):
+    """Pod-scale serving: StreamPool over a ShardedScanTracker (stream axis
+    on the 8-device mesh) tracks identically to the single-device pool."""
+    from feartracker_tpu.parallel.inference import ShardedScanTracker
+    from feartracker_tpu.parallel.mesh import make_mesh
+
+    sharded = ShardedScanTracker(
+        tracker.model, tracker.variables, CFG, mesh=make_mesh()
+    )
+    rng = np.random.RandomState(7)
+    frames = _frames(rng, 3)
+    pools = {}
+    for name, tr in (("single", tracker), ("sharded", sharded)):
+        pool = StreamPool(tr, capacity=8, frame_hw=HW)
+        pool.add(frames[0], [40, 30, 30, 40])
+        pool.add(frames[0], [10, 10, 20, 20])
+        outs = [pool.step(np.broadcast_to(f, (8, *HW, 3))) for f in frames[1:]]
+        pools[name] = np.stack([np.asarray(o["bbox"][:2]) for o in outs])
+    np.testing.assert_allclose(pools["sharded"], pools["single"], atol=1e-3)
