@@ -280,3 +280,72 @@ def test_precision_plot_writer(tmp_path):
     many = str(tmp_path / "prec_many.png")
     plot_precision({f"t{i}": np.clip(t / (25 + i), 0, 1) for i in range(3)}, many)
     assert os.path.getsize(one) > 1000 and os.path.getsize(many) > 1000
+
+
+def test_report_cli_main(tmp_path):
+    pytest.importorskip("matplotlib")
+    import json
+    import sys
+
+    from feartracker_tpu.evaluate import report as R
+
+    res = {"ao": 0.5, "success_auc": 0.5, "success_curve": [1.0] * 21,
+           "precision_curve": [1.0] * 51, "precision_20px": 1.0, "num_sequences": 1}
+    p1, p2 = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    json.dump(res, open(p1, "w"))
+    json.dump(dict(res, success_auc=0.6), open(p2, "w"))
+    out = str(tmp_path / "rep")
+    old = sys.argv
+    try:
+        sys.argv = ["report", out, f"a={p1}", f"b={p2}"]
+        R.main()
+    finally:
+        sys.argv = old
+    perf = json.load(open(os.path.join(out, R.PERFORMANCE_JSON)))
+    assert set(perf) == {"a", "b"}
+    assert os.path.exists(os.path.join(out, R.SUCCESS_PNG))
+
+    with pytest.raises(SystemExit):
+        sys.argv = ["report", out, "missing-equals-sign"]
+        try:
+            R.main()
+        finally:
+            sys.argv = old
+
+
+def test_report_folds_beyond_eight_trackers(tmp_path):
+    pytest.importorskip("matplotlib")
+    from feartracker_tpu.evaluate.report import write_report
+
+    t = np.arange(0, 1.05, 0.05)
+    results = {
+        f"t{i}": {"ao": i / 10, "success_auc": i / 10,
+                  "success_curve": list(np.clip(1 - t * (1 + i / 10), 0, 1))}
+        for i in range(10)
+    }
+    paths = write_report(results, str(tmp_path / "rep10"))  # must not raise
+    assert os.path.getsize(paths["success_plot"]) > 1000
+    import json
+
+    assert len(json.load(open(paths["performance"]))) == 10  # all in the JSON
+
+
+def test_synthetic_appearance_drift_generator(tmp_path):
+    from tools.make_synthetic_dataset import generate
+
+    csv_path = generate(str(tmp_path), tracks=1, frames=4, val_sequences=1,
+                        seed=3, appearance_drift=1.0)
+    assert os.path.exists(csv_path)
+    import cv2
+
+    val = sorted((tmp_path / "got10k" / "val").glob("GOT-10k_Val_*"))
+    frames = sorted(val[0].glob("*.jpg"))
+    assert len(frames) == 4
+    gt = open(val[0] / "groundtruth.txt").read().strip().split("\n")
+    assert len(gt) == 4
+    first, last = cv2.imread(str(frames[0])), cv2.imread(str(frames[-1]))
+    b0 = [int(float(v)) for v in gt[0].split(",")]
+    b3 = [int(float(v)) for v in gt[-1].split(",")]
+    c0 = first[b0[1] + b0[3] // 2, b0[0] + b0[2] // 2].astype(int)
+    c3 = last[b3[1] + b3[3] // 2, b3[0] + b3[2] // 2].astype(int)
+    assert np.abs(c0 - c3).sum() > 60  # the object color actually drifted
