@@ -17,7 +17,12 @@ from typing import List
 
 import numpy as np
 
-DEFAULT_WEIGHTS = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+_REFERENCE_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+_PACKAGED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "feartracker_tpu", "weights", "fear_xs.npz"
+)
+# reference export when mounted; else the packaged bit-identical archive
+DEFAULT_WEIGHTS = _REFERENCE_ML if os.path.exists(_REFERENCE_ML) else _PACKAGED
 
 
 def get_tracker(weights_path: str, smooth: bool = False, platform: str = ""):

@@ -7,6 +7,8 @@ ref: utils/torch.py:12-25):
 * ``.mlmodel`` — the reference's released CoreML export, recovered by the
   raw-protobuf reader (`convert/coreml.py`);
 * ``.ckpt``    — a reference PyTorch-Lightning checkpoint;
+* ``.npz``     — a flat variables archive written by
+  ``tools/export_weights.py`` (incl. the packaged standalone FEAR-XS);
 * a directory  — an Orbax training checkpoint from this framework
   (experiment dir, checkpoints root, managed step dir or state dir).
 """
@@ -16,11 +18,23 @@ from __future__ import annotations
 import os
 from typing import Any, Dict
 
+PACKAGED_FEAR_XS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "weights", "fear_xs.npz")
+
+
+def load_npz_variables(path: str) -> Dict[str, Any]:
+    """Variables from a ``tools/export_weights.py`` archive ('/'-joined
+    nested keys → the {"params", "batch_stats"} pytree)."""
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
+
 
 def load_variables(path: str, channels: int = 256, towernum: int = 2) -> Dict[str, Any]:
     """FEARNet variables ``{"params", "batch_stats"}`` from any supported
     weight source (see module docstring). ``channels``/``towernum`` apply to
-    the .mlmodel/.ckpt importers (Orbax checkpoints carry their structure)."""
+    the .mlmodel/.ckpt importers (Orbax/.npz sources carry their structure)."""
     if os.path.isdir(path):
         from feartracker_tpu.train.checkpoint import load_orbax_variables
 
@@ -29,6 +43,8 @@ def load_variables(path: str, channels: int = 256, towernum: int = 2) -> Dict[st
         from feartracker_tpu.convert.lightning import load_from_lightning
 
         return load_from_lightning(path, channels=channels, towernum=towernum)
+    if path.endswith(".npz"):
+        return load_npz_variables(path)
     from feartracker_tpu.convert.fear_weights import load_fear_xs
 
     return load_fear_xs(path, channels=channels, towernum=towernum)

@@ -12,7 +12,14 @@ import json
 
 import numpy as np
 
-DEFAULT_WEIGHTS = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+import os as _os
+
+from feartracker_tpu.convert.load import PACKAGED_FEAR_XS
+
+_REFERENCE_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+# prefer the reference export when mounted; otherwise the packaged
+# bit-identical standalone archive (feartracker_tpu/weights/)
+DEFAULT_WEIGHTS = _REFERENCE_ML if _os.path.exists(_REFERENCE_ML) else PACKAGED_FEAR_XS
 
 
 def _load(args, dtype=None):

@@ -40,17 +40,25 @@ def build_scan_tracker(
     try:
         variables = load_fear_xs(weights_path)
     except Exception as e:
-        print(
-            f"[bench] WARNING: could not load FEAR-XS weights ({e!r}); "
-            f"benchmarking with random weights",
-            file=sys.stderr,
-        )
-        provenance = "random"
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            (jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 256, 256, 3))),
-            train=False,
-        )
+        # reference mount unavailable: the packaged standalone archive
+        # carries the same recovered weights (tools/export_weights.py)
+        from feartracker_tpu.convert.load import PACKAGED_FEAR_XS, load_npz_variables
+
+        try:
+            variables = load_npz_variables(PACKAGED_FEAR_XS)
+        except Exception:
+            print(
+                f"[bench] WARNING: could not load FEAR-XS weights ({e!r}) and "
+                f"no packaged archive at {PACKAGED_FEAR_XS}; benchmarking with "
+                f"random weights",
+                file=sys.stderr,
+            )
+            provenance = "random"
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                (jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 256, 256, 3))),
+                train=False,
+            )
     tracker = ScanTracker(
         model, variables, dtype=dtype, postprocess_impl=postprocess_impl, **tracker_kw
     )

@@ -26,9 +26,14 @@ def _run_bench(monkeypatched_weights: bool, tmp_path):
         "import feartracker_tpu.convert.fear_weights as fw\n"
     )
     if monkeypatched_weights:
+        # break BOTH trained-weight sources: the CoreML recovery and the
+        # packaged standalone archive (which exists precisely so that a
+        # missing reference mount does NOT degrade to random weights)
         code += (
-            "def _boom(*a, **k): raise IOError('mlmodel unavailable')\n"
+            "def _boom(*a, **k): raise IOError('weights unavailable')\n"
             "fw.load_fear_xs = _boom\n"
+            "import feartracker_tpu.convert.load as cl\n"
+            "cl.load_npz_variables = _boom\n"
         )
     # bench imports load_fear_xs inside main(), so patching the source module
     # above is sufficient

@@ -116,3 +116,22 @@ def test_vot_dataset_polygon(tmp_path):
     files, anno, name = ds[0]
     assert name == "vot"
     np.testing.assert_array_equal(anno[0], [5, 5, 10, 20])
+
+
+def test_packaged_weights_load_without_reference_mount():
+    """The in-repo fear_xs.npz makes the framework standalone: the loader
+    dispatches on .npz, and the bench harness falls back to it (provenance
+    stays 'fear_xs') when the CoreML path is unavailable."""
+    import numpy as np
+
+    from feartracker_tpu.convert.load import PACKAGED_FEAR_XS, load_variables
+    from feartracker_tpu.evaluate.harness import build_scan_tracker
+
+    v = load_variables(PACKAGED_FEAR_XS)
+    assert set(v) == {"params", "batch_stats"}
+    assert v["params"]["neck"]["downsample"]["conv"]["kernel"].shape == (1, 1, 112, 256)
+
+    tracker, provenance = build_scan_tracker("/nonexistent/Tracker.mlmodel")
+    assert provenance == "fear_xs"
+    w = np.asarray(tracker.variables["params"]["neck"]["downsample"]["conv"]["kernel"])
+    np.testing.assert_array_equal(w, np.asarray(v["params"]["neck"]["downsample"]["conv"]["kernel"]))
