@@ -99,17 +99,17 @@ def main() -> None:
     import argparse
     import json
 
-    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.convert.load import default_weights_path, load_variables
 
     p = argparse.ArgumentParser(description="Export the two-graph StableHLO deployment pair")
     p.add_argument("--weights_path",
-                   default="/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel")
+                   default=None)
     p.add_argument("--out_dir", default="outputs/export")
     p.add_argument("--no_quantize", action="store_true", help="skip the bf16 variants")
     args = p.parse_args()
 
     paths = export_tracker(
-        FEARNet(), load_fear_xs(args.weights_path), args.out_dir,
+        FEARNet(), load_variables(args.weights_path or default_weights_path()), args.out_dir,
         quantize=not args.no_quantize,
     )
     sizes = {k: os.path.getsize(v) for k, v in paths.items()}

@@ -19,6 +19,13 @@ import os
 from typing import Any, Dict
 
 PACKAGED_FEAR_XS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "weights", "fear_xs.npz")
+REFERENCE_MLMODEL = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+
+
+def default_weights_path() -> str:
+    """The reference CoreML export when mounted, else the packaged
+    bit-identical standalone archive."""
+    return REFERENCE_MLMODEL if os.path.exists(REFERENCE_MLMODEL) else PACKAGED_FEAR_XS
 
 
 def load_npz_variables(path: str) -> Dict[str, Any]:

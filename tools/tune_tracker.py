@@ -24,7 +24,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_WEIGHTS = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
+def _default_weights():
+    from feartracker_tpu.convert.load import default_weights_path
+    return default_weights_path()
 
 
 def _floats(s: str):
@@ -33,7 +35,7 @@ def _floats(s: str):
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--weights_path", default=DEFAULT_WEIGHTS)
+    ap.add_argument("--weights_path", default=None)
     ap.add_argument("--dataset", default="got10k")
     ap.add_argument("--root", required=True)
     ap.add_argument("--subset", default="val")
@@ -59,7 +61,7 @@ def main() -> None:
 
     kwargs = {"subset": args.subset} if args.dataset in ("got10k", "trackingnet") else {}
     dataset = DATASET_REGISTRY[args.dataset](args.root, **kwargs)
-    variables = load_variables(args.weights_path)
+    variables = load_variables(args.weights_path or _default_weights())
 
     best = None
     for pk in _floats(args.penalty_k):
