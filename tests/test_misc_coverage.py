@@ -135,3 +135,17 @@ def test_packaged_weights_load_without_reference_mount():
     assert provenance == "fear_xs"
     w = np.asarray(tracker.variables["params"]["neck"]["downsample"]["conv"]["kernel"])
     np.testing.assert_array_equal(w, np.asarray(v["params"]["neck"]["downsample"]["conv"]["kernel"]))
+
+
+def test_model_zoo_second_checkpoint_is_distinct():
+    import numpy as np
+
+    from feartracker_tpu.convert.load import PACKAGED_FEAR_XS, load_npz_variables
+
+    other = PACKAGED_FEAR_XS.replace("fear_xs.npz", "fear_xs_noembs.npz")
+    a = load_npz_variables(PACKAGED_FEAR_XS)
+    b = load_npz_variables(other)
+    ka = a["params"]["neck"]["downsample"]["conv"]["kernel"]
+    kb = b["params"]["neck"]["downsample"]["conv"]["kernel"]
+    assert ka.shape == kb.shape == (1, 1, 112, 256)
+    assert not np.array_equal(ka, kb)  # genuinely different checkpoints
