@@ -81,6 +81,47 @@ def test_track_outputs_match_coreml_graph(fear_setup):
     np.testing.assert_allclose(np.log(bbox), np.log(ref["bbox"]), atol=5e-3, rtol=1e-2)
 
 
+NOEMBS_ML = (
+    "/root/reference/evaluate/MeasurePerformance/MeasurePerformance/models/"
+    "FEAR-XS-NoEmbs.mlmodel"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(NOEMBS_ML), reason="reference mlmodel not mounted")
+def test_noembs_checkpoint_matches_its_coreml_graph():
+    """The second zoo checkpoint (weights/fear_xs_noembs.npz source): the
+    recovered weights reproduce the NoEmbs export's own track graph — the
+    same parity standard as the default checkpoint."""
+    model = FEARNet()
+    variables = load_fear_xs(NOEMBS_ML)
+    rng = np.random.RandomState(11)
+    search = imagenet_preprocess(_rand_image(rng, 256))
+    feats = rng.randn(1, 256, 8, 8).astype(np.float32)
+
+    body = [l for l in parse_mlmodel(NOEMBS_ML)["layers"] if l.name != "scale_layer"]
+    ref = run_graph(
+        body,
+        {"image_scaled": search.transpose(2, 0, 1)[None], "template_features": feats},
+    )
+    out = model.apply(
+        variables, jnp.asarray(search[None]),
+        jnp.asarray(feats.transpose(0, 2, 3, 1)), method=model.track,
+    )
+    bbox = np.asarray(out["TARGET_REGRESSION_LABEL_KEY"]).transpose(0, 3, 1, 2)
+    cls = np.asarray(out["TARGET_CLASSIFICATION_KEY"]).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(cls, ref["cls"], atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.log(bbox), np.log(ref["bbox"]), atol=5e-3, rtol=1e-2)
+
+    # and the packaged archive is exactly these weights
+    from feartracker_tpu.convert.load import PACKAGED_FEAR_XS, load_npz_variables
+
+    packaged = load_npz_variables(PACKAGED_FEAR_XS.replace("fear_xs.npz", "fear_xs_noembs.npz"))
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["neck"]["downsample"]["conv"]["kernel"]),
+        np.asarray(packaged["params"]["neck"]["downsample"]["conv"]["kernel"]),
+    )
+
+
 @needs_mlmodel
 def test_scale_layer_matches_imagenet_normalize():
     """The CoreML preprocessing (bias + fp16 scale) equals ImageNet
