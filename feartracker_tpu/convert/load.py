@@ -41,7 +41,12 @@ def load_npz_variables(path: str) -> Dict[str, Any]:
 def load_variables(path: str, channels: int = 256, towernum: int = 2) -> Dict[str, Any]:
     """FEARNet variables ``{"params", "batch_stats"}`` from any supported
     weight source (see module docstring). ``channels``/``towernum`` apply to
-    the .mlmodel/.ckpt importers (Orbax/.npz sources carry their structure)."""
+    the .mlmodel/.ckpt importers (Orbax/.npz sources carry their structure).
+    A bare model-zoo name ("fear_xs", "fear_xs_noembs") resolves to the
+    packaged archive."""
+    zoo = os.path.join(os.path.dirname(PACKAGED_FEAR_XS), f"{path}.npz")
+    if os.sep not in path and os.path.exists(zoo):
+        path = zoo
     if os.path.isdir(path):
         from feartracker_tpu.train.checkpoint import load_orbax_variables
 

@@ -149,3 +149,10 @@ def test_model_zoo_second_checkpoint_is_distinct():
     kb = b["params"]["neck"]["downsample"]["conv"]["kernel"]
     assert ka.shape == kb.shape == (1, 1, 112, 256)
     assert not np.array_equal(ka, kb)  # genuinely different checkpoints
+
+
+def test_zoo_name_resolution():
+    from feartracker_tpu.convert.load import load_variables
+
+    v = load_variables("fear_xs_noembs")
+    assert set(v) == {"params", "batch_stats"}
