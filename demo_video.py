@@ -17,12 +17,10 @@ from typing import List
 
 import numpy as np
 
-_REFERENCE_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
-_PACKAGED = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "feartracker_tpu", "weights", "fear_xs.npz"
-)
+from feartracker_tpu.convert.load import default_weights_path
+
 # reference export when mounted; else the packaged bit-identical archive
-DEFAULT_WEIGHTS = _REFERENCE_ML if os.path.exists(_REFERENCE_ML) else _PACKAGED
+DEFAULT_WEIGHTS = default_weights_path()
 
 
 def get_tracker(weights_path: str, smooth: bool = False, platform: str = ""):

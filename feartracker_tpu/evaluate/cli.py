@@ -12,14 +12,10 @@ import json
 
 import numpy as np
 
-import os as _os
+from feartracker_tpu.convert.load import default_weights_path
 
-from feartracker_tpu.convert.load import PACKAGED_FEAR_XS
-
-_REFERENCE_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
-# prefer the reference export when mounted; otherwise the packaged
-# bit-identical standalone archive (feartracker_tpu/weights/)
-DEFAULT_WEIGHTS = _REFERENCE_ML if _os.path.exists(_REFERENCE_ML) else PACKAGED_FEAR_XS
+# reference export when mounted; else the packaged bit-identical archive
+DEFAULT_WEIGHTS = default_weights_path()
 
 
 def _load(args, dtype=None):

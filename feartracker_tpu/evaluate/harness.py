@@ -30,35 +30,37 @@ def build_scan_tracker(
     import jax
     import jax.numpy as jnp
 
-    from feartracker_tpu.convert.fear_weights import load_fear_xs
     from feartracker_tpu.models.fear_net import FEARNet
     from feartracker_tpu.tracker.runtime import ScanTracker
 
     dtype = jnp.bfloat16 if dtype is None else dtype
     model = FEARNet(dtype=dtype)
     provenance = "fear_xs"
-    try:
-        variables = load_fear_xs(weights_path)
-    except Exception as e:
-        # reference mount unavailable: the packaged standalone archive
-        # carries the same recovered weights (tools/export_weights.py)
-        from feartracker_tpu.convert.load import PACKAGED_FEAR_XS, load_npz_variables
+    # fall back from the requested source to the packaged standalone archive
+    # (same recovered weights, tools/export_weights.py) before conceding to
+    # random weights
+    from feartracker_tpu.convert.load import PACKAGED_FEAR_XS, load_variables
 
+    variables = None
+    for candidate in (weights_path, PACKAGED_FEAR_XS):
         try:
-            variables = load_npz_variables(PACKAGED_FEAR_XS)
-        except Exception:
-            print(
-                f"[bench] WARNING: could not load FEAR-XS weights ({e!r}) and "
-                f"no packaged archive at {PACKAGED_FEAR_XS}; benchmarking with "
-                f"random weights",
-                file=sys.stderr,
-            )
-            provenance = "random"
-            variables = model.init(
-                jax.random.PRNGKey(0),
-                (jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 256, 256, 3))),
-                train=False,
-            )
+            variables = load_variables(candidate)
+            break
+        except Exception as e:
+            err = e
+    if variables is None:
+        print(
+            f"[bench] WARNING: could not load FEAR-XS weights ({err!r}, "
+            f"incl. the packaged archive at {PACKAGED_FEAR_XS}); benchmarking "
+            f"with random weights",
+            file=sys.stderr,
+        )
+        provenance = "random"
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            (jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 256, 256, 3))),
+            train=False,
+        )
     tracker = ScanTracker(
         model, variables, dtype=dtype, postprocess_impl=postprocess_impl, **tracker_kw
     )

@@ -120,10 +120,6 @@ def xla_ir_block(x: jnp.ndarray, blk: Dict[str, Any], spec: IRBlockSpec) -> jnp.
     return x
 
 
-def _sublane(dtype) -> int:
-    return 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
-
-
 def fused_eligible(spec: IRBlockSpec, shape: Tuple[int, ...], dtype) -> bool:
     """Kernel eligibility: expansion > 1 (e=1 blocks have no expanded
     intermediate worth fusing), widths that reshape cleanly in Mosaic
@@ -132,7 +128,9 @@ def fused_eligible(spec: IRBlockSpec, shape: Tuple[int, ...], dtype) -> bool:
     if spec.expansion <= 1:
         return False
     S, H, W, Cin = shape
-    sub = _sublane(dtype)
+    from feartracker_tpu.ops.pallas.ir_block import sublane_tile
+
+    sub = sublane_tile(dtype)
     if H % spec.stride or W % spec.stride:
         return False
     win = W // 2 if spec.stride == 2 else W

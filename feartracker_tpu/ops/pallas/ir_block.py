@@ -54,10 +54,15 @@ def _pad_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def sublane_tile(dtype) -> int:
+    """Second-minor VMEM tile size for a dtype (lane tile is always 128)."""
+    return {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+
+
 def _arr_bytes(shape, dtype) -> int:
     """VMEM footprint with (sublane, lane) tile padding."""
     item = jnp.dtype(dtype).itemsize
-    sub = {4: 8, 2: 16, 1: 32}[item]
+    sub = sublane_tile(dtype)
     dims = list(shape)
     dims[-1] = _pad_up(dims[-1], 128)
     if len(dims) >= 2:
