@@ -266,10 +266,10 @@ class Trainer:
                     f"pretrained_weights are FEAR-XS shaped; model.name={name!r} "
                     f"has a different trunk — drop pretrained_weights or use fear_xs"
                 )
-            from feartracker_tpu.convert.fear_weights import load_fear_xs
+            from feartracker_tpu.convert.load import load_variables
 
-            loaded = load_fear_xs(
-                pretrained,
+            loaded = load_variables(
+                pretrained,  # .mlmodel / .ckpt / .npz / zoo name / Orbax dir
                 channels=int(self.config.get("model", {}).get("adjust_channels", 256)),
                 towernum=int(self.config.get("model", {}).get("towernum", 2)),
             )
