@@ -3,7 +3,7 @@
 Protocol mirrors the reference's on-device FPS benchmark — 20 warmup + 100
 timed model calls on device-resident input (ref: README.md:43,
 evaluate/MeasurePerformance/.../Benchmark.swift:56-78) — applied to the
-TPU-native scan runtime: each call tracks a (T=32)-frame chunk of S=64
+TPU-native scan runtime: each call tracks a (T=64)-frame chunk of S=128
 independent streams entirely on device (crop → FEARNet → penalty-window
 decode → state carry), with the trained FEAR-XS weights recovered from the
 reference's CoreML export.
@@ -25,7 +25,10 @@ import numpy as np
 WARMUP_CALLS = int(os.environ.get("BENCH_WARMUP", 20))
 TIMED_CALLS = int(os.environ.get("BENCH_TIMED", 100))
 STREAMS = int(os.environ.get("BENCH_STREAMS", 128))
-CHUNK = int(os.environ.get("BENCH_CHUNK", 32))
+# T=64 amortizes the ~100-200 ms/dispatch tunnel latency over twice the
+# frames: measured +8% over T=32 within one process (BENCHMARKS.md
+# "Chunk-length sweep")
+CHUNK = int(os.environ.get("BENCH_CHUNK", 64))
 BASELINE_FPS = 1000.0
 
 TRACKER_ML = "/root/reference/evaluate/FEARDemo/FEARDemo/Tracker.mlmodel"
