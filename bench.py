@@ -58,7 +58,9 @@ def main() -> None:
     # ms/call within one process) — external link interference, not device
     # speed; best-of de-noises it while keeping the per-pass protocol intact
     elapsed = []
-    for _ in range(int(os.environ.get("BENCH_REPEATS", 3))):
+    # best-of-2 (not 3): with T=64 calls a third pass adds ~80 s against a
+    # tunnel-compile budget that can already reach ~8 min on a bad hour
+    for _ in range(int(os.environ.get("BENCH_REPEATS", 2))):
         t0 = time.time()
         for _ in range(TIMED_CALLS):
             state, outs = tracker.track(state, chunk)
