@@ -125,3 +125,52 @@ def test_scan_tracker_fused_matches_xla():
         _, outs = tr.track(state, chunk)
         results[impl] = np.asarray(outs["bbox"])
     np.testing.assert_allclose(results["fused"], results["xla"], atol=1e-3)
+
+
+def test_kernel_utility_math():
+    """Pure helpers: sublane tiles, VMEM estimates, chunk sizing, s_tile picking."""
+    from feartracker_tpu.ops.pallas.ir_block import (
+        _chunk_rows,
+        estimate_vmem,
+        pick_s_tile,
+        sublane_tile,
+    )
+
+    assert sublane_tile(jnp.float32) == 8
+    assert sublane_tile(jnp.bfloat16) == 16
+    assert sublane_tile(jnp.int8) == 32
+
+    # chunk size always divides the total and respects the budget
+    for total in (16, 32, 64, 50):
+        c = _chunk_rows(2, 64, 384, total)
+        assert total % c == 0 and c >= 1
+
+    # estimates grow monotonically with the stream tile
+    args = (32, 32, 32, 192, 64, 5, 1, jnp.bfloat16)
+    assert estimate_vmem(2, *args) < estimate_vmem(4, *args) < estimate_vmem(8, *args)
+
+    # picked tile divides S and fits the budget; oversized blocks return 0
+    st = pick_s_tile(128, 16, 16, 112, 672, 112, 5, 1, jnp.bfloat16)
+    assert st > 0 and 128 % st == 0
+    assert pick_s_tile(128, 256, 256, 64, 384, 64, 5, 1, jnp.float32) == 0
+
+
+def test_pack_expand_weights_block_diagonal():
+    from feartracker_tpu.ops.pallas.ir_block import _pad_up, pack_expand_weights
+
+    rng = np.random.RandomState(0)
+    we = jnp.asarray(rng.randn(24, 144).astype(np.float32))
+    be = jnp.asarray(rng.randn(144).astype(np.float32))
+    w4, b4 = pack_expand_weights(we, be)
+    cpad = _pad_up(144, 128)
+    assert w4.shape == (96, 4 * cpad) and b4.shape == (1, 4 * cpad)
+    for r in range(4):
+        blk = w4[r * 24 : (r + 1) * 24, r * cpad : r * cpad + 144]
+        np.testing.assert_array_equal(np.asarray(blk), np.asarray(we))
+        np.testing.assert_array_equal(
+            np.asarray(b4[0, r * cpad : r * cpad + 144]), np.asarray(be)
+        )
+    # everything off the diagonal blocks is zero
+    total = float(jnp.abs(w4).sum())
+    diag = 4 * float(jnp.abs(we).sum())
+    assert abs(total - diag) < 1e-4
