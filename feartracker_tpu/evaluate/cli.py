@@ -215,7 +215,8 @@ def main() -> None:
     fp.add_argument("--warmup_calls", type=int, default=1,
                     help="un-timed calls before the online/offline protocols (compile warmup)")
     fp.add_argument("--streams", type=int, default=64)
-    fp.add_argument("--chunk", type=int, default=32)
+    fp.add_argument("--chunk", type=int, default=64,
+                    help="frames per call (T=64 amortizes dispatch best — BENCHMARKS.md)")
     fp.add_argument("--duration", type=float, default=30.0)
     fp.add_argument("--input_fps", type=float, default=30.0)
     fp.add_argument("--video_path", default="/root/reference/assets/test.mp4")
