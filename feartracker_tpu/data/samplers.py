@@ -103,17 +103,44 @@ class TrackSampler:
 
 
 class FrameSampler(TrackSampler):
-    """Every eligible frame is a sample (no epoch resampling)
-    (ref: track_sampling.py:118-186)."""
+    """Every eligible frame is a template exactly once per epoch — a
+    deterministic walk over the dataset instead of TrackSampler's
+    track-balanced random draw (ref: track_sampling.py:118-186).
 
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
+    Differences from TrackSampler, re-derived from the reference:
+      * negative drop count is ``int((neg_ratio - negative_ratio) * len)``
+        — proportional to the *excess* negative fraction
+        (track_sampling.py:139-146) rather than TrackSampler's
+        keep-then-subtract form. (The reference draws the rows to drop
+        *with* replacement, so duplicate draws silently under-drop; we draw
+        without replacement so the count is exact and seeded-deterministic.)
+      * ``resample()`` is a no-op: the epoch enumeration is the fixed
+        ``indices`` list (track_sampling.py:30-31 inherited pass);
+      * ``num_samples is None`` means "use every eligible frame"
+        (track_sampling.py:152-153), and ``__len__`` clips to the number of
+        eligible frames (track_sampling.py:136-137).
+    """
+
+    def __init__(self, *args, num_samples: Optional[int] = None, **kwargs):
+        super().__init__(*args, num_samples=num_samples, **kwargs)
         self.indices: Optional[List[int]] = None
 
     def __len__(self) -> int:
         if self.indices is None:
             return 0
-        return min(self.num_samples or len(self.indices), len(self.indices))
+        return min(self.num_samples, len(self.indices))
+
+    def _read_data(self) -> pd.DataFrame:
+        """FrameSampler negative-drop variant (track_sampling.py:139-146)."""
+        data = pd.read_csv(self.data_path)
+        negative = data[data["presence"] == 0]
+        if len(data):
+            neg_ratio = len(negative) / len(data)
+            drop = max(0, int((neg_ratio - self.negative_ratio) * len(data)))
+            drop = min(drop, len(negative))
+            dropped = self.rng.choice(negative.index, drop, replace=False)
+            data = data.drop(dropped).reset_index(drop=True)
+        return data
 
     def parse_samples(self) -> None:
         self.data = self._read_data()
@@ -125,9 +152,10 @@ class FrameSampler(TrackSampler):
             self.num_samples = len(self.indices)
 
     def resample(self) -> None:
-        pass
+        """No-op: every epoch enumerates the same eligible-frame list."""
 
-    def extract_sample(self, idx: int) -> Dict[str, Any]:
+    def extract_sample(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, Any]:
+        rng = self.rng if rng is None else rng
         template_item = self.data.loc[self.indices[idx]]
         track_indices = self.mapping[template_item["track_id"]]
         if self.clip_range:

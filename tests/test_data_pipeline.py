@@ -9,7 +9,7 @@ import pytest
 
 from feartracker_tpu.data.dataset import ConcatDataset, SiameseTrackingDataset
 from feartracker_tpu.data.loader import BatchLoader, collate
-from feartracker_tpu.data.samplers import TrackSampler
+from feartracker_tpu.data.samplers import FrameSampler, TrackSampler
 from feartracker_tpu.utils import constants as C
 
 SIZES = {
@@ -145,6 +145,151 @@ def test_host_sharding_partitions_data(csv_dataset):
     i1 = l1._indices()
     assert set(i0).isdisjoint(set(i1))
     assert len(set(i0) | set(i1)) == len(cat)
+
+
+# -- FrameSampler (sampling.type: frame) ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def csv_with_negatives(tmp_path_factory):
+    """2 tracks x 10 frames, 2 negatives per track, 1 near-corner frame."""
+    root = tmp_path_factory.mktemp("fsds")
+    rng = np.random.RandomState(7)
+    rows = []
+    for track in range(2):
+        color = rng.randint(60, 255, 3).tolist()
+        for frame in range(10):
+            img = np.full((240, 320, 3), 25, np.uint8)
+            x = 30 + 6 * frame + 12 * track
+            y = 40 + 5 * frame
+            w, h = 70, 90
+            cv2.rectangle(img, (x, y), (x + w, y + h), color, -1)
+            path = f"n{track}_f{frame}.jpg"
+            cv2.imwrite(str(root / path), img)
+            rows.append(
+                dict(
+                    sequence_id=f"seq{track}",
+                    track_id=f"track{track}",
+                    frame_index=frame,
+                    img_path=path,
+                    bbox=str([x, y, w, h]),
+                    frame_shape=str([320, 240]),
+                    dataset="synthetic",
+                    presence=0 if frame in (3, 7) else 1,
+                    near_corner=1 if frame == 5 else 0,
+                )
+            )
+    csv_path = root / "train.csv"
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    return root, csv_path
+
+
+def test_frame_sampler_enumerates_every_eligible_frame(csv_with_negatives):
+    root, csv_path = csv_with_negatives
+    s = FrameSampler(str(csv_path), negative_ratio=1.0, frame_offset=4, clip_range=True, seed=0)
+    s.parse_samples()
+    df = pd.read_csv(csv_path)
+    eligible = df[(df["presence"] == 1) & (df["near_corner"] == 0)]
+    # negative_ratio=1.0 keeps every negative; every eligible frame is one sample
+    assert len(s) == len(eligible) == 14
+    rng = np.random.RandomState(3)
+    seen = []
+    for i in range(len(s)):
+        pair = s.extract_sample(i, rng=rng)  # rng keyword threads like TrackSampler
+        t, srch = pair["template"], pair["search"]
+        assert t["track_id"] == srch["track_id"]
+        assert abs(t["frame_index"] - srch["frame_index"]) < 4
+        assert t["presence"] == 1 and t["near_corner"] == 0
+        seen.append((t["track_id"], t["frame_index"]))
+    # deterministic walk: each eligible frame appears exactly once, in order
+    assert seen == list(zip(eligible["track_id"], eligible["frame_index"]))
+    # resample is a no-op for FrameSampler (no per-epoch redraw)
+    s.resample()
+    assert len(s) == 14
+    assert s.extract_sample(0, rng=np.random.RandomState(0))["template"]["frame_index"] == seen[0][1]
+
+
+def test_frame_sampler_negative_drop_formula(csv_with_negatives):
+    root, csv_path = csv_with_negatives
+    # 4 negatives / 20 rows = 0.2 negative fraction; target 0.05
+    # drop = int((0.2 - 0.05) * 20) = 3 -> 17 rows survive, 1 negative kept
+    s = FrameSampler(str(csv_path), negative_ratio=0.05, frame_offset=4, seed=0)
+    s.parse_samples()
+    assert len(s.data) == 17
+    assert (s.data["presence"] == 0).sum() == 1
+    # negative_ratio=0 drops every negative
+    s0 = FrameSampler(str(csv_path), negative_ratio=0.0, frame_offset=4, seed=0)
+    s0.parse_samples()
+    assert (s0.data["presence"] == 0).sum() == 0
+
+
+def test_frame_sampler_num_samples_caps_length(csv_with_negatives):
+    root, csv_path = csv_with_negatives
+    s = FrameSampler(str(csv_path), negative_ratio=1.0, frame_offset=4, num_samples=5, seed=0)
+    s.parse_samples()
+    assert len(s) == 5
+    # num_samples=None (the default) means every eligible frame
+    s_all = FrameSampler(str(csv_path), negative_ratio=1.0, frame_offset=4, seed=0)
+    s_all.parse_samples()
+    assert s_all.num_samples == 14
+
+
+def _frame_config(root, csv_path):
+    return {
+        "root": str(root),
+        "name": "synthetic",
+        "sizes": dict(SIZES),
+        "regression_weight_label_size": 16,
+        "sampling": {
+            "type": "frame",
+            "data_path": str(csv_path),
+            "negative_ratio": 1.0,
+            "frame_offset": 4,
+            "num_samples": None,
+            "clip_range": True,
+        },
+    }
+
+
+def test_frame_sampling_dataset_end_to_end(csv_with_negatives):
+    root, csv_path = csv_with_negatives
+    ds = SiameseTrackingDataset(_frame_config(root, csv_path), {"score_size": 16, "total_stride": 16}, seed=1)
+    assert len(ds) == 14
+    item = ds[0]
+    assert item[C.TRACKER_TARGET_TEMPLATE_IMAGE_KEY].shape == (128, 128, 3)
+    assert item[C.TRACKER_TARGET_SEARCH_IMAGE_KEY].shape == (256, 256, 3)
+    assert item[C.TARGET_REGRESSION_LABEL_KEY].shape == (16, 16, 4)
+    # presence==0 searches must yield all-zero label maps
+    zeros_seen = pos_seen = False
+    for i in range(len(ds)):
+        it = ds[i]
+        if it[C.TARGET_VISIBILITY_KEY][0] == 0:
+            zeros_seen = True
+            assert it[C.TARGET_CLASSIFICATION_KEY].sum() == 0
+            assert it[C.TARGET_REGRESSION_WEIGHT_KEY].sum() == 0
+        else:
+            pos_seen = True
+    assert pos_seen  # eligible templates exist; most searches are positive
+
+
+def test_frame_sampling_loader_determinism(csv_with_negatives):
+    root, csv_path = csv_with_negatives
+
+    def make_loader():
+        ds = SiameseTrackingDataset(
+            _frame_config(root, csv_path), {"score_size": 16, "total_stride": 16}, seed=2
+        )
+        return BatchLoader(ConcatDataset([ds]), batch_size=4, num_workers=2, seed=9)
+
+    b0 = next(iter(make_loader()))
+    b1 = next(iter(make_loader()))
+    np.testing.assert_array_equal(
+        b0[C.TRACKER_TARGET_SEARCH_IMAGE_KEY], b1[C.TRACKER_TARGET_SEARCH_IMAGE_KEY]
+    )
+    np.testing.assert_array_equal(
+        b0[C.TRACKER_TARGET_TEMPLATE_IMAGE_KEY], b1[C.TRACKER_TARGET_TEMPLATE_IMAGE_KEY]
+    )
+    assert b0[C.TRACKER_TARGET_SEARCH_FILENAME_KEY] == b1[C.TRACKER_TARGET_SEARCH_FILENAME_KEY]
 
 
 def test_dynamic_template_emits_aux(csv_dataset):
