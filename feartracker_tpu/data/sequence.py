@@ -218,10 +218,19 @@ class OTBDataset(SequenceDataset):
                 ]
             for name, gt_path in variants:
                 anno = _read_gt(gt_path)[:, :4]
-                # a few OTB sequences have more frames than annotation rows
-                # (e.g. David is annotated from frame 300): keep the trailing
-                # len(anno) frames; conversely truncate extra annotation rows
-                sfiles = files[len(files) - len(anno) :] if len(files) > len(anno) else files
+                # Frame/annotation length mismatches follow the got10k toolkit:
+                # David is annotated from frame 300 (keep the trailing
+                # len(anno) frames); every other surplus-frame sequence
+                # (Football1, Freeman3, Freeman4, Diving) is annotated from the
+                # START, so keep the LEADING len(anno) frames. Extra annotation
+                # rows are truncated to the frame count.
+                if len(files) > len(anno):
+                    if seq.lower() == "david":
+                        sfiles = files[len(files) - len(anno) :]
+                    else:
+                        sfiles = files[: len(anno)]
+                else:
+                    sfiles = files
                 self._sequences.append((name, sfiles, anno[: len(sfiles)]))
 
 

@@ -12,7 +12,9 @@ VOT challenge methodology (Kristan et al.):
   later (default 5, the VOT constant).
 * **accuracy** — mean IoU over valid frames, excluding ``burnin`` frames
   (default 10) after every (re-)initialization so the re-init bonus does not
-  inflate the score.
+  inflate the score. Init frames (scored 1.0 by convention for the segment
+  curves) and failure frames (the toolkit excludes the failing frame's 0.0)
+  are always excluded from accuracy, even with ``burnin=0``.
 * **robustness** — total failure count, plus failures per 100 frames and the
   VOT2015 reliability transform ``exp(-M · failures_per_frame)`` (M = 100,
   the expected sequence span).
@@ -148,6 +150,11 @@ def evaluate_vot(
             tracker, files, anno, skip=skip, max_frames=n
         )
         scored = valid & _burnin_mask(n, inits, burnin)
+        # the synthetic init-frame 1.0 and the failure frame's 0.0 never
+        # count toward accuracy (VOT toolkit convention), independent of burnin
+        scored[np.asarray(inits, int)] = False
+        if failures:
+            scored[np.asarray(failures, int)] = False
         seq_ovs = overlaps[scored]
         seq_acc = float(seq_ovs.mean()) if len(seq_ovs) else 0.0
         all_ovs.extend(seq_ovs.tolist())

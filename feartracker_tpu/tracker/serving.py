@@ -199,8 +199,11 @@ class StreamPool:
             "active": active,
         }
         if self.auto_reinit:
-            # chunked: re-template from the chunk's last frame/prediction
-            failure = result["failure"][-1] if result["failure"].ndim == 2 else result["failure"]
+            # chunked: a slot that failed on ANY frame of the chunk is
+            # re-templated (failure OR-ed over T — a flag that clears by the
+            # last frame must not mask the mid-chunk failure); the template
+            # source is the chunk's last frame/prediction, the freshest state
+            failure = result["failure"].any(0) if result["failure"].ndim == 2 else result["failure"]
             bbox = result["bbox"][-1] if result["bbox"].ndim == 3 else result["bbox"]
             last_frames = frames[-1] if frames.ndim == 5 else frames
             for slot in np.nonzero(failure & self.active)[0]:

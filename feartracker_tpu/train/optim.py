@@ -72,13 +72,24 @@ def _hyperparams_state(opt_state):
     return None
 
 
+def _require_hyperparams_state(opt_state):
+    state = _hyperparams_state(opt_state)
+    if state is None:
+        raise ValueError(
+            "optimizer state has no injected hyperparams — build the optimizer "
+            "via build_optimizer (optax.inject_hyperparams) to use "
+            "get/set_learning_rate"
+        )
+    return state
+
+
 def get_learning_rate(opt_state) -> float:
     """Read the injected lr out of a (possibly chained) optimizer state."""
-    return float(_hyperparams_state(opt_state).hyperparams["learning_rate"])
+    return float(_require_hyperparams_state(opt_state).hyperparams["learning_rate"])
 
 
 def set_learning_rate(opt_state, lr: float):
-    state = _hyperparams_state(opt_state)
+    state = _require_hyperparams_state(opt_state)
     state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 

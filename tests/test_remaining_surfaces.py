@@ -48,8 +48,14 @@ def test_otb_layout(tmp_path):
         _img(str(seq3 / "img" / f"{i+1:04d}.jpg"))
     (seq3 / "groundtruth_rect.1.txt").write_text("1,2,10,10\n2,2,10,10\n3,2,10,10")
     (seq3 / "groundtruth_rect.2.txt").write_text("5,6,12,12\n6,6,12,12\n7,6,12,12")
+    # Freeman3-style: surplus frames annotated from the START → leading frames
+    seq4 = tmp_path / "Freeman3"
+    (seq4 / "img").mkdir(parents=True)
+    for i in range(5):
+        _img(str(seq4 / "img" / f"{i+1:04d}.jpg"))
+    (seq4 / "groundtruth_rect.txt").write_text("1,1,8,8\n2,1,8,8\n3,1,8,8")
     ds = OTBDataset(str(tmp_path))
-    assert len(ds) == 4 and DATASET_REGISTRY["otb"] is OTBDataset
+    assert len(ds) == 5 and DATASET_REGISTRY["otb"] is OTBDataset
     names = {ds.sequence_name(i): i for i in range(len(ds))}
     assert {"Jogging.1", "Jogging.2"} <= set(names)
     np.testing.assert_array_equal(ds[names["Jogging.2"]][1][0], [5, 6, 12, 12])
@@ -59,6 +65,10 @@ def test_otb_layout(tmp_path):
     files2, anno2, _ = ds[names["David"]]
     assert len(files2) == 2 and files2[0].endswith("0004.jpg")
     np.testing.assert_array_equal(anno2[1], [11, 20, 30, 40])
+    # Non-David surplus frames align to the LEADING annotation rows
+    files3, anno3, _ = ds[names["Freeman3"]]
+    assert len(files3) == 3 and files3[0].endswith("0001.jpg") and files3[-1].endswith("0003.jpg")
+    np.testing.assert_array_equal(anno3[0], [1, 1, 8, 8])
 
 
 def test_trackingnet_layout(tmp_path):

@@ -178,6 +178,27 @@ def test_step_chunk_reinit_uses_last_frame(tracker):
     assert not np.allclose(np.asarray(pool.state.template_feats), before)
 
 
+def test_step_chunk_reinit_catches_mid_chunk_failure(tracker):
+    """A slot whose failure flag clears by the chunk's final frame is still
+    re-templated: the failure mask is OR-ed over T, not last-frame-only."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(9)
+    f = _frames(rng)[0]
+    pool = StreamPool(tracker, capacity=1, frame_hw=HW, failure_policy="reinit")
+    pool.add(f, [40, 30, 30, 40])
+    before = np.asarray(pool.state.template_feats).copy()
+    fake_out = {
+        "bbox": jnp.broadcast_to(jnp.asarray([62.0, 48.0, 24.0, 30.0]), (3, 1, 4)),
+        "confidence": jnp.full((3, 1), 0.9),
+        "failure": jnp.asarray([[False], [True], [False]]),  # clears by chunk end
+    }
+    chunk = np.broadcast_to(f, (3, 1, *HW, 3))
+    out = pool._drain(fake_out, pool.active.copy(), chunk)
+    assert out["failure"][1, 0] and not out["failure"][-1, 0]
+    assert not np.allclose(np.asarray(pool.state.template_feats), before)
+
+
 def test_pool_matches_dedicated_stream(tracker):
     """A slot tracked through the pool must produce the same trajectory as a
     1-stream ScanTracker with the same inputs."""

@@ -188,6 +188,16 @@ def test_optimizer_lr_inject_roundtrip():
     assert get_learning_rate(opt_state) == pytest.approx(1e-4)
 
 
+def test_lr_helpers_reject_plain_optimizer_state():
+    """An optimizer built without inject_hyperparams gets a clear ValueError,
+    not an AttributeError on NoneType."""
+    import optax
+
+    opt_state = optax.sgd(1e-3).init({"w": jnp.ones(2)})
+    with pytest.raises(ValueError, match="no injected hyperparams"):
+        get_learning_rate(opt_state)
+
+
 def test_gradient_clip_by_global_norm():
     """gradient_clip_val (ref trainer.py:59) clips before the update rule;
     the lr helpers still find the injected lr through the clip wrapper."""

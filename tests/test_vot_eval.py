@@ -160,6 +160,24 @@ def test_supervised_with_real_tracker(tmp_path):
     assert res["num_sequences"] == 1
 
 
+def test_accuracy_excludes_init_and_failure_frames(tmp_path):
+    """With burnin=0 the synthetic init 1.0s and the failure-frame 0.0 must
+    still be excluded from accuracy."""
+    n = 10
+    files = _make_seq(tmp_path, n)
+    gt = np.tile(np.array([[10.0, 10.0, 4.0, 4.0]]), (n, 1))
+    # constant 50%-overlap prediction, except total miss at frame 4
+    half = [10, 10, 2, 4]  # IoU = 0.5
+    script = {i: half for i in range(n)}
+    script[4] = [100, 100, 4, 4]
+    script[-1] = half
+    res = evaluate_vot(ScriptedTracker(script), OneSeqDataset(files, gt), skip=3, burnin=0)
+    # scored frames are exactly the tracked half-overlap ones: neither the
+    # two init frames (0, 7) nor the failure frame (4) contribute
+    assert res["accuracy"] == pytest.approx(0.5)
+    assert res["robustness_failures"] == 1.0
+
+
 def test_evaluate_vot_end_to_end(tmp_path):
     n = 12
     files = _make_seq(tmp_path, n)
