@@ -123,6 +123,49 @@ def test_make_coco_csv(tmp_path):
     assert df.iloc[0]["img_path"] == os.path.join("train2017", "000007.jpg")
 
 
+def test_make_youtube_bb_csv(tmp_path):
+    """yt_bb upstream schema (normalized corner coords, ms timestamps,
+    present/absent strings) → repo schema with denormalized int xywh."""
+    rows = [
+        # youtube_id, timestamp_ms, class_id, class_name, object_id, presence, xmin, xmax, ymin, ymax
+        ("vidA", 0, 5, "dog", 0, "present", 0.10, 0.40, 0.25, 0.75),
+        ("vidA", 1000, 5, "dog", 0, "present", 0.12, 0.42, 0.25, 0.75),
+        ("vidA", 2000, 5, "dog", 0, "absent", -1.0, -1.0, -1.0, -1.0),
+        ("vidA", 3000, 5, "dog", 0, "present", 0.00, 0.30, 0.00, 0.50),  # near corner
+        ("vidA", 5000, 5, "dog", 0, "present", 0.20, 0.50, 0.25, 0.75),  # ts gap
+        ("vidA", 0, 5, "dog", 1, "present", 0.50, 0.90, 0.10, 0.60),  # 2nd object
+        ("vidB", 0, 3, "cat", 0, "present", 0.25, 0.75, 0.25, 0.75),  # frame missing on disk
+    ]
+    with open(tmp_path / "yt_bb_detection_train.csv", "w") as fh:
+        for r in rows:
+            fh.write(",".join(str(v) for v in r) + "\n")
+    frames = tmp_path / "vidA"
+    frames.mkdir()
+    for ts in (0, 1000, 2000, 3000, 5000):
+        cv2.imwrite(str(frames / f"vidA_{ts}.jpg"), np.full((100, 200, 3), 80, np.uint8))
+
+    df = _run_builder("youtube_bb", tmp_path, str(tmp_path / "ytbb.csv"))
+    assert len(df) == 6  # vidB dropped (no decoded frame)
+    assert df["dataset"].unique().tolist() == ["youtube_bb"]
+    assert sorted(df["track_id"].unique()) == ["vidA/5_0", "vidA/5_1"]
+    t0 = df[df["track_id"] == "vidA/5_0"].sort_values("frame_index")
+    # ms timestamps -> 1 fps frame_index, gap preserved
+    assert t0["frame_index"].tolist() == [0, 1, 2, 3, 5]
+    # denormalized [0.10..0.40]x[0.25..0.75] on a 200x100 frame
+    assert t0.iloc[0]["bbox"] == "[20, 25, 60, 50]"
+    assert t0.iloc[0]["frame_shape"] == "[200, 100]"
+    assert t0["presence"].tolist() == [1, 1, 0, 1, 1]
+    assert t0.iloc[2]["bbox"] == "[0, 0, 0, 0]"  # absent row zeroed
+    assert t0["near_corner"].tolist() == [0, 0, 0, 1, 0]
+    # the emitted CSV feeds the sampler directly
+    from feartracker_tpu.data.samplers import TrackSampler
+
+    out_csv = str(tmp_path / "ytbb.csv")
+    s = TrackSampler(out_csv, negative_ratio=1.0, frame_offset=3, num_samples=4, clip_range=True, seed=0)
+    s.parse_samples()
+    assert s.extract_sample(0)["template"]["presence"] == 1
+
+
 def test_make_ilsvrc_vid_csv(tmp_path):
     seq = "ILSVRC2015_train_00001000"
     anno_dir = tmp_path / "Annotations" / "VID" / "train" / "a" / seq

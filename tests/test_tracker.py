@@ -10,7 +10,11 @@ Full-video result (tools/reference_oracle.py + the comparison snippet in its
 git history): plain mode 660/660 frames BIT-EXACT; smooth mode 638/660 exact,
 remaining 22 frames (a single fast-motion cluster, 401-420) within 6 px —
 the size-smoothing feedback loop amplifies <=2e-3 model-level float
-differences there and re-converges by frame 421. Recorded in BENCHMARKS.md.
+differences there and re-converges by frame 421. The identical-model-outputs
+control (tools/parity_control.py: repo crop + repo JAX decode, model served
+by the oracle's torch interpreter) is 660/660 BIT-EXACT in smooth mode, so
+the decode path is proven bit-parity and the 22-frame golden divergence is
+model-forward float noise. Recorded in BENCHMARKS.md.
 """
 
 import json
@@ -96,3 +100,20 @@ def test_smooth_trajectory_matches_reference_exactly():
     tracker.initialize(video[0], np.array(oracle["initial_bbox"]))
     boxes = [list(map(int, tracker.update(video[i])["bbox"])) for i in range(1, 15)]
     np.testing.assert_array_equal(np.asarray(boxes), np.asarray(oracle["boxes"][:14]))
+
+
+@needs_assets
+def test_smooth_bit_parity_under_identical_model_outputs():
+    """The decisive smooth-mode control (VERDICT r2 #2): the repo tracker with
+    its model forward served by the SAME torch-interpreter graphs as the
+    oracle — identical cls/reg maps every frame — must bit-match the oracle
+    golden. Proves the crop/penalty/window/smoothing/decode path itself.
+    Full-video run (tools/parity_control.py): 660/660 bit-exact; this test
+    guards the first 30 updates."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.parity_control import run_control
+
+    boxes, gold = run_control(max_frames=31, smooth=True)
+    np.testing.assert_array_equal(np.asarray(boxes), np.asarray(gold))

@@ -4,9 +4,10 @@ The reference requires users to hand-build per-dataset CSVs with the schema
 sequence_id, track_id, frame_index, img_path, bbox, frame_shape, dataset,
 presence, near_corner (ref: README.md:82-93) but ships no tooling. This
 tool builds that CSV from standard dataset layouts: GOT-10k, LaSOT,
-TrackingNet, COCO-2017 instances (single-frame tracks) and ImageNet-VID —
-every training dataset of the reference's full_train recipe with a public
-layout (youtube_bb ships its own CSVs upstream).
+TrackingNet, COCO-2017 instances (single-frame tracks), ImageNet-VID, and
+YouTube-BoundingBoxes (converting the upstream yt_bb detection CSVs + frame
+dumps) — every training dataset of the reference's full_train recipe
+(ref: config/dataset/full_train.yaml).
 
     python tools/make_annotations.py got10k --root /data/got10k --subset train \
         --out /data/got10k/train.csv
@@ -216,12 +217,104 @@ def make_ilsvrc_vid(root: str, subset: str = "train") -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# frame-dump layouts produced by the common yt_bb download scripts; each is a
+# format string over the annotation row's fields, relative to --root
+YTBB_PATH_TEMPLATES = [
+    "{youtube_id}/{youtube_id}_{timestamp_ms}.jpg",
+    "{class_name}/{youtube_id}+{class_id}+{object_id}/{youtube_id}_{timestamp_ms}.jpg",
+    "{youtube_id}_{timestamp_ms}_{class_id}_{object_id}.jpg",
+]
+
+
+def make_youtube_bb(root: str, subset: str = "train", path_template: str = "") -> pd.DataFrame:
+    """YouTube-BoundingBoxes: converts the upstream yt_bb detection CSV
+    (yt_bb_detection_{subset}.csv: youtube_id, timestamp_ms, class_id,
+    class_name, object_id, object_presence, xmin, xmax, ymin, ymax with
+    normalized [0, 1] corner coordinates) into the repo schema.
+
+    The upstream release ships annotations only; frames come from the user's
+    own download/decode run under ``root``. Rows whose frame image is missing
+    are dropped (yt_bb downloads are routinely partial — videos go private),
+    and the drop count is reported. Frame pixel dimensions are read once per
+    video and used to denormalize the corner coords to integer xywh.
+    ``path_template`` overrides the auto-detected frame layout (any format
+    string over youtube_id/timestamp_ms/class_id/class_name/object_id)."""
+    anno_path = os.path.join(root, f"yt_bb_detection_{subset}.csv")
+    if not os.path.exists(anno_path):
+        candidates = glob.glob(os.path.join(root, "yt_bb_*.csv"))
+        if not candidates:
+            raise FileNotFoundError(f"no yt_bb_*.csv found under {root}")
+        anno_path = candidates[0]
+    cols = [
+        "youtube_id", "timestamp_ms", "class_id", "class_name",
+        "object_id", "object_presence", "xmin", "xmax", "ymin", "ymax",
+    ]
+    data = pd.read_csv(anno_path, header=None, names=cols)
+
+    templates = [path_template] if path_template else YTBB_PATH_TEMPLATES
+    shape_cache: dict = {}
+    rows = []
+    missing = 0
+    for (vid, cls_id, obj_id), group in data.groupby(
+        ["youtube_id", "class_id", "object_id"], sort=True
+    ):
+        group = group.sort_values("timestamp_ms")
+        track = f"{vid}/{cls_id}_{obj_id}"
+        tmpl = None
+        for row in group.itertuples():
+            fields = dict(
+                youtube_id=vid, timestamp_ms=int(row.timestamp_ms),
+                class_id=int(cls_id), class_name=str(row.class_name),
+                object_id=int(obj_id),
+            )
+            if tmpl is None:  # resolve the layout on the track's first hit
+                for cand in templates:
+                    if os.path.exists(os.path.join(root, cand.format(**fields))):
+                        tmpl = cand
+                        break
+            rel = tmpl.format(**fields) if tmpl else None
+            if rel is None or not os.path.exists(os.path.join(root, rel)):
+                missing += 1
+                continue
+            if rel not in shape_cache and vid not in shape_cache:
+                shape_cache[vid] = _frame_shape(os.path.join(root, rel))
+            W, H = shape_cache[vid]
+            present = str(row.object_presence).strip().lower() in ("present", "1", "true")
+            x = int(round(float(row.xmin) * W))
+            y = int(round(float(row.ymin) * H))
+            w = int(round((float(row.xmax) - float(row.xmin)) * W))
+            h = int(round((float(row.ymax) - float(row.ymin)) * H))
+            if w <= 0 or h <= 0:
+                present = False
+                x = y = w = h = 0
+            rows.append(
+                dict(
+                    sequence_id=str(vid),
+                    track_id=track,
+                    # yt_bb samples one frame per second at whole-second
+                    # timestamps; seconds are the natural frame_index so
+                    # frame_offset windows stay time-correct across gaps
+                    frame_index=int(row.timestamp_ms) // 1000,
+                    img_path=rel,
+                    bbox=str([x, y, w, h]),
+                    frame_shape=str([W, H]),
+                    dataset="youtube_bb",
+                    presence=int(present),
+                    near_corner=_near_corner([x, y, w, h], (W, H)) if present else 0,
+                )
+            )
+    if missing:
+        print(f"[youtube_bb] dropped {missing} rows with no decoded frame on disk")
+    return pd.DataFrame(rows)
+
+
 BUILDERS = {
     "got10k": make_got10k,
     "lasot": make_lasot,
     "trackingnet": make_trackingnet,
     "coco": make_coco,
     "ilsvrc": make_ilsvrc_vid,
+    "youtube_bb": make_youtube_bb,
 }
 
 
@@ -231,8 +324,15 @@ def main() -> None:
     p.add_argument("--root", required=True)
     p.add_argument("--subset", default="train")
     p.add_argument("--out", required=True)
+    p.add_argument(
+        "--path_template",
+        default="",
+        help="youtube_bb only: frame-path format string over "
+        "youtube_id/timestamp_ms/class_id/class_name/object_id",
+    )
     args = p.parse_args()
-    df = BUILDERS[args.dataset](args.root, args.subset)
+    kwargs = {"path_template": args.path_template} if args.dataset == "youtube_bb" else {}
+    df = BUILDERS[args.dataset](args.root, args.subset, **kwargs)
     df.to_csv(args.out, index=False)
     print(f"wrote {len(df)} rows ({df['track_id'].nunique()} tracks) to {args.out}")
 
