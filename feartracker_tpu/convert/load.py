@@ -38,6 +38,43 @@ def load_npz_variables(path: str) -> Dict[str, Any]:
         return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
 
 
+def transfer_variables(
+    loaded: Dict[str, Any], target: Dict[str, Any]
+) -> tuple:
+    """Non-strict weight transfer — the analog of the reference's
+    ``strict=False → transfer_weights`` fallback (ref: utils/torch.py:21-24):
+    copy every leaf whose path AND shape match the target, leave the rest at
+    the target's freshly initialized values.
+
+    Returns ``(merged, report)`` where ``merged`` mirrors ``target``'s
+    structure and ``report`` maps '/'-joined paths:
+    ``transferred`` (copied), ``skipped_shape`` (path match, shape mismatch),
+    ``missing`` (in target only — stays initialized), ``unused`` (in source
+    only — dropped). Enables trunk-only warm starts across head/towernum
+    variants where the all-or-nothing importers refuse."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat_t = flatten_dict(target)
+    flat_l = flatten_dict(loaded)
+    report = {"transferred": [], "skipped_shape": [], "missing": [], "unused": []}
+    merged = {}
+    for k, v in flat_t.items():
+        name = "/".join(k)
+        if k in flat_l:
+            if tuple(np.shape(flat_l[k])) == tuple(np.shape(v)):
+                merged[k] = flat_l[k]
+                report["transferred"].append(name)
+            else:
+                merged[k] = v
+                report["skipped_shape"].append(name)
+        else:
+            merged[k] = v
+            report["missing"].append(name)
+    report["unused"] = sorted("/".join(k) for k in flat_l if k not in flat_t)
+    return unflatten_dict(merged), report
+
+
 def load_variables(path: str, channels: int = 256, towernum: int = 2) -> Dict[str, Any]:
     """FEARNet variables ``{"params", "batch_stats"}`` from any supported
     weight source (see module docstring). ``channels``/``towernum`` apply to

@@ -260,24 +260,56 @@ class Trainer:
         # arrives folded-identity and re-adapts during training
         pretrained = self.config.get("model", {}).get("pretrained_weights")
         if pretrained:
-            name = self.config.get("model", {}).get("name", "fear_xs")
-            if name != "fear_xs":
-                raise ValueError(
-                    f"pretrained_weights are FEAR-XS shaped; model.name={name!r} "
-                    f"has a different trunk — drop pretrained_weights or use fear_xs"
-                )
-            from feartracker_tpu.convert.load import load_variables
+            from feartracker_tpu.convert.load import load_variables, transfer_variables
 
-            loaded = load_variables(
-                pretrained,  # .mlmodel / .ckpt / .npz / zoo name / Orbax dir
-                channels=int(self.config.get("model", {}).get("adjust_channels", 256)),
-                towernum=int(self.config.get("model", {}).get("towernum", 2)),
-            )
+            try:
+                loaded = load_variables(
+                    pretrained,  # .mlmodel / .ckpt / .npz / zoo name / Orbax dir
+                    channels=int(self.config.get("model", {}).get("adjust_channels", 256)),
+                    towernum=int(self.config.get("model", {}).get("towernum", 2)),
+                )
+            except Exception:
+                # arch-parameterized importers (.mlmodel/.ckpt) must parse the
+                # SOURCE's structure; when the target arch differs, retry with
+                # the source's natural FEAR-XS shape and let the transfer step
+                # reconcile
+                loaded = load_variables(pretrained)
+            # non-strict by-path/shape transfer (ref: utils/torch.py:21-24
+            # strict=False -> transfer_weights): exact matches copy verbatim
+            # (the fear_xs full warm start is bit-identical to a strict load),
+            # mismatched heads/trunks keep their fresh init with a loud report
+            target = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            merged, report = transfer_variables(loaded, target)
+            if not report["transferred"]:
+                raise ValueError(
+                    f"no weights transferred from {pretrained!r} — source is "
+                    f"incompatible with model.name="
+                    f"{self.config.get('model', {}).get('name', 'fear_xs')!r} "
+                    f"(skipped_shape={len(report['skipped_shape'])}, "
+                    f"missing={len(report['missing'])})"
+                )
+            partial = report["skipped_shape"] or report["missing"] or report["unused"]
+            if partial:
+                logger.warning(
+                    "PARTIAL warm start from %s: %d leaves transferred, "
+                    "%d shape-mismatched (kept init: %s%s), %d missing, %d unused",
+                    pretrained,
+                    len(report["transferred"]),
+                    len(report["skipped_shape"]),
+                    ", ".join(report["skipped_shape"][:4]),
+                    "…" if len(report["skipped_shape"]) > 4 else "",
+                    len(report["missing"]),
+                    len(report["unused"]),
+                )
             self.state = self.state._replace(
-                params=jax.tree.map(jnp.asarray, loaded["params"]),
-                batch_stats=jax.tree.map(jnp.asarray, loaded["batch_stats"]),
+                params=jax.tree.map(jnp.asarray, merged["params"]),
+                batch_stats=jax.tree.map(jnp.asarray, merged["batch_stats"]),
             )
-            logger.info("initialized from pretrained weights: %s", pretrained)
+            logger.info(
+                "initialized from pretrained weights: %s (%s)",
+                pretrained,
+                "partial" if partial else "full",
+            )
 
     def _loader(self) -> BatchLoader:
         # one loader for the whole fit: its internal epoch counter drives the
