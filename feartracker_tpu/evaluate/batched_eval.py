@@ -51,9 +51,13 @@ def batched_evaluate(
     max_sequences: Optional[int] = None,
     decode_workers: int = 4,
     verbose: bool = False,
+    sequence_stride: Tuple[int, int] = (0, 1),
 ) -> Dict[str, Any]:
     """Evaluate ``dataset`` (a SequenceDataset) S sequences at a time.
-    ``max_sequences`` caps the run (sanity checks / val_percent)."""
+    ``max_sequences`` caps the run (sanity checks / val_percent).
+    ``sequence_stride=(rank, world)`` restricts to every world-th scorable
+    sequence starting at rank — the multi-host validation shard (applied
+    AFTER the max_sequences cap so every host agrees on the capped set)."""
     pool = ThreadPoolExecutor(decode_workers)
     seq_overlaps: List[np.ndarray] = []
     seq_names: List[str] = []
@@ -70,6 +74,11 @@ def batched_evaluate(
         print(f"  skipping {skipped} sequences with <2 annotated frames")
     if max_sequences is not None:
         scorable = scorable[: max(int(max_sequences), 0)]
+    rank, world = sequence_stride
+    if world > 1:
+        scorable = scorable[rank::world]
+    if not scorable:
+        return summarize([], [], [])
 
     # sharded trackers need the stream axis divisible by the mesh: pad short
     # groups by repeating the last sequence; padded streams are tracked but

@@ -60,3 +60,36 @@ def is_master() -> bool:
     """Rank-0 check gating logging/checkpoint/TB writes
     (≙ ref base_lightning_model.py:53-58 ``is_master``)."""
     return process_index() == 0
+
+
+def allgather_rows(rows) -> "np.ndarray":
+    """Gather per-host float row-blocks of VARYING row counts into one
+    global (sum_rows, C) array, identical on every host.
+
+    Used to shard online validation: each host tracks a process_index-strided
+    subset of the val sequences and contributes its per-sequence rows; the
+    gathered result feeds plateau/early-stop decisions in lockstep at 1/N
+    the per-host tracking cost. Single-process: returns the input unchanged
+    (no device ops). Multi-process: NaN-pads every host's block to the global
+    max row count, ``process_allgather``s once, strips padding.
+    """
+    import numpy as np
+
+    rows = np.asarray(rows, np.float64)
+    if rows.ndim != 2:
+        rows = rows.reshape(-1, rows.shape[-1] if rows.size else 1)
+    if process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils as mhu
+
+    counts = np.asarray(mhu.process_allgather(np.asarray([rows.shape[0]])))
+    counts = counts.reshape(-1)
+    max_rows = int(counts.max())
+    cols = rows.shape[1] if rows.size else 1
+    padded = np.full((max_rows, max(cols, 1)), np.nan)
+    if rows.size:
+        padded[: rows.shape[0], :] = rows
+    gathered = np.asarray(mhu.process_allgather(padded))  # (P, max_rows, C)
+    return np.concatenate(
+        [gathered[p, : counts[p]] for p in range(gathered.shape[0])], axis=0
+    )

@@ -44,9 +44,19 @@ class CheckpointManager:
     def has_last(self) -> bool:
         return os.path.exists(os.path.join(self._last_dir, "state"))
 
-    def save(self, step: int, state, monitor: Optional[float]) -> None:
+    def save(
+        self,
+        step: int,
+        state,
+        monitor: Optional[float],
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> None:
         """Save 'last' always; enter the managed top-k ranking only when a
-        monitored metric is available for this step."""
+        monitored metric is available for this step. ``extra`` is a small
+        JSON-able dict (epoch / loader counters) stored beside the last
+        state so resume does not have to DERIVE them from the step — a
+        step-derived epoch silently shifts when train_percent, dataset CSVs
+        or batch size changed between the crashed and resumed run."""
         if monitor is not None:
             self._mgr.save(
                 step,
@@ -63,6 +73,22 @@ class CheckpointManager:
                 shutil.rmtree(path)
             ckptr.save(path, jax.tree.map(np.asarray, state._asdict()))
             ckptr.wait_until_finished()
+            if extra is not None:
+                import json
+
+                with open(os.path.join(self._last_dir, "meta.json"), "w") as fh:
+                    json.dump(extra, fh)
+
+    def load_meta(self) -> Optional[Dict[str, Any]]:
+        """The ``extra`` dict stored with the last checkpoint, if any
+        (absent for checkpoints written before epoch persistence)."""
+        import json
+
+        path = os.path.join(self._last_dir, "meta.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
 
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()

@@ -440,16 +440,19 @@ class Trainer:
         max_samples = int(self.config.get("max_val_samples", 200))
         val_percent = self.config.get("val_percent")
         iou_threshold = 0.01
-        all_ious: List[float] = []
-        per_dataset: Dict[str, List[float]] = {}
-        per_dataset_fail: Dict[str, List[float]] = {}
-        for ds in self.val_datasets:
+        # multi-host: every host tracks only a process_index-strided subset
+        # of each dataset's sequences (1/N the wall time), then the
+        # per-sequence rows are allgathered so plateau / early-stop / best-
+        # checkpoint decisions stay in lockstep on identical global metrics
+        rank, world = multihost.process_index(), multihost.process_count()
+        local_rows: List[List[float]] = []  # (dataset_idx, seq_mean_iou, seq_fail)
+        for d_idx, ds in enumerate(self.val_datasets):
             n_seq = len(ds)
             if val_percent:
                 # cap at val_percent sequences (floor 1) — but an EMPTY val
                 # dataset must stay empty, not get indexed
                 n_seq = min(n_seq, max(1, int(val_percent)))
-            for s in range(n_seq):
+            for s in range(rank, n_seq, world):
                 files, anno, name = ds[s]
                 tracker.initialize(read_img(files[0]), np.asarray(anno[0], int))
                 n = min(max_samples, len(files), len(anno))
@@ -460,19 +463,21 @@ class Trainer:
                     ious.append(iou)
                     fails.append(float(iou < iou_threshold))
                 if ious:
-                    per_dataset.setdefault(name, []).append(float(np.mean(ious)))
-                    per_dataset_fail.setdefault(name, []).append(float(np.mean(fails)))
-                    all_ious.append(float(np.mean(ious)))
+                    local_rows.append([float(d_idx), float(np.mean(ious)), float(np.mean(fails))])
 
+        rows = multihost.allgather_rows(np.asarray(local_rows, np.float64).reshape(-1, 3))
         metrics: Dict[str, float] = {}
-        if all_ious:
-            metrics["box_iou"] = float(np.mean(all_ious))
+        if len(rows):
+            metrics["box_iou"] = float(np.mean(rows[:, 1]))
             self.writer.add_scalar("valid/metrics/box_iou", metrics["box_iou"], epoch)
-        for name, vals in per_dataset.items():
-            metrics[f"{name}_box_iou"] = float(np.mean(vals))
-            self.writer.add_scalar(f"valid/metrics/{name}_box_iou", np.mean(vals), epoch)
+        for d_idx, ds in enumerate(self.val_datasets):
+            sel = rows[rows[:, 0] == d_idx] if len(rows) else rows
+            if not len(sel):
+                continue
+            metrics[f"{ds.name}_box_iou"] = float(np.mean(sel[:, 1]))
+            self.writer.add_scalar(f"valid/metrics/{ds.name}_box_iou", np.mean(sel[:, 1]), epoch)
             self.writer.add_scalar(
-                f"valid/metrics/{name}_failure_rate", np.mean(per_dataset_fail[name]), epoch
+                f"valid/metrics/{ds.name}_failure_rate", np.mean(sel[:, 2]), epoch
             )
         return metrics
 
@@ -496,16 +501,27 @@ class Trainer:
         max_samples = int(self.config.get("max_val_samples", 200))
         val_percent = self.config.get("val_percent")  # sanity check / cap
         iou_threshold = 0.01
+        # multi-host: each host tracks its process_index-strided shard and the
+        # per-sequence rows are allgathered (identical global metrics at 1/N
+        # the tracking cost per host). precision_20px is host-local aggregate
+        # and is only emitted single-process.
+        rank, world = multihost.process_index(), multihost.process_count()
         metrics: Dict[str, float] = {}
         all_seq_means: List[float] = []
-        for ds in self.val_datasets:
+        for d_idx, ds in enumerate(self.val_datasets):
             res = batched_evaluate(
                 self._batched_val_tracker, ds,
                 streams=streams, frame_hw=frame_hw, max_frames=max_samples,
                 max_sequences=int(val_percent) if val_percent else None,
+                sequence_stride=(rank, world),
             )
-            seq_means = [float(np.mean(ov)) for ov in res["per_sequence"].values()]
-            fails = [float(np.mean(np.asarray(ov) < iou_threshold)) for ov in res["per_sequence"].values()]
+            local = [
+                [float(d_idx), float(np.mean(ov)), float(np.mean(np.asarray(ov) < iou_threshold))]
+                for ov in res["per_sequence"].values()
+            ]
+            rows = multihost.allgather_rows(np.asarray(local, np.float64).reshape(-1, 3))
+            seq_means = rows[:, 1].tolist() if len(rows) else []
+            fails = rows[:, 2].tolist() if len(rows) else []
             all_seq_means += seq_means
             metrics[f"{ds.name}_box_iou"] = float(np.mean(seq_means)) if seq_means else 0.0
             self.writer.add_scalar(f"valid/metrics/{ds.name}_box_iou", metrics[f"{ds.name}_box_iou"], epoch)
@@ -513,7 +529,7 @@ class Trainer:
                 f"valid/metrics/{ds.name}_failure_rate",
                 float(np.mean(fails)) if fails else 0.0, epoch,
             )
-            if "precision_20px" in res:
+            if "precision_20px" in res and world == 1:
                 metrics[f"{ds.name}_precision_20px"] = float(res["precision_20px"])
                 self.writer.add_scalar(
                     f"valid/metrics/{ds.name}_precision_20px", res["precision_20px"], epoch
@@ -568,9 +584,23 @@ class Trainer:
                 # no exception swallowing: a corrupt/incompatible checkpoint
                 # must fail loudly, not silently retrain from scratch
                 self.state = self.ckpt.restore_last(self.state)
-                # Lightning-faithful epoch resume: max_epochs is TOTAL epochs,
-                # and the epoch counter continues from the restored step
-                start_epoch = int(self.state.step) // max(self._steps_per_epoch(), 1)
+                # Lightning-faithful epoch resume: max_epochs is TOTAL epochs.
+                # The epoch counter comes from checkpoint metadata — deriving
+                # it as step // steps_per_epoch silently shifts the epoch,
+                # resample replay and curriculum when train_percent, dataset
+                # CSVs or batch size changed between runs. The derivation
+                # remains only as a fallback for pre-metadata checkpoints.
+                meta = self.ckpt.load_meta()
+                if meta is not None and "epoch" in meta:
+                    start_epoch = int(meta["epoch"])
+                else:
+                    start_epoch = int(self.state.step) // max(self._steps_per_epoch(), 1)
+                    logger.warning(
+                        "resume: checkpoint has no epoch metadata; deriving "
+                        "epoch %d from step — incorrect if the dataset or "
+                        "batch size changed since the crashed run",
+                        start_epoch,
+                    )
                 logger.info(
                     "resumed from last checkpoint at step %d (epoch %d)",
                     int(self.state.step), start_epoch,
@@ -583,6 +613,7 @@ class Trainer:
                 self._loader().epoch = start_epoch
             else:
                 logger.info("no checkpoint to resume at %s; starting fresh", self.ckpt.directory)
+        self.resumed_epoch = start_epoch
 
         # sanity val: run a few real tracking sequences before training, so
         # a broken val path fails in seconds not hours
@@ -627,7 +658,10 @@ class Trainer:
             # DP state is fully replicated, so master alone writes it
             # (≙ ref rank-0 checkpointing under Lightning DDP)
             if self.is_master:
-                self.ckpt.save(int(self.state.step), self.state, monitor)
+                self.ckpt.save(
+                    int(self.state.step), self.state, monitor,
+                    extra={"epoch": epoch + 1},
+                )
 
             if monitor is not None and self.early_stopping.update(monitor) and epoch + 1 >= min_epochs:
                 logger.info("early stopping at epoch %d (best %.4f)", epoch, self.early_stopping.best)

@@ -138,6 +138,58 @@ def test_host_local_rows_preserves_shard_order(monkeypatch):
     np.testing.assert_array_equal(out, np.asarray(x))
 
 
+def test_sharded_validation_matches_redundant_path(mh_config, monkeypatch, tmp_path):
+    """Each host tracks a process_index-strided val shard (1/N sequences) and
+    the allgathered rows reproduce the single-host metrics exactly — lockstep
+    plateau/early-stop at a fraction of the per-host cost (VERDICT r2 #7)."""
+    from feartracker_tpu.parallel import multihost
+    from feartracker_tpu.train.loop import Trainer
+
+    root = str(tmp_path)
+    _make_val_sequences(os.path.join(root, "got10k", "val"), n_seq=3)
+    cfg = {
+        **mh_config,
+        "num_devices": 1,
+        "experiment": {"folder": os.path.join(root, "exp"), "name": "SHVAL"},
+        "val": {"datasets": [{"name": "got10k", "root_dir": os.path.join(root, "got10k"), "subset": "val"}]},
+    }
+
+    def run_host(index, count, capture):
+        _mock_host(monkeypatch, index, count)
+        monkeypatch.setattr(
+            multihost, "allgather_rows",
+            lambda rows: capture.append(np.asarray(rows, np.float64).reshape(-1, 3)) or capture[-1],
+        )
+        t = Trainer(cfg)
+        t.setup_data()
+        t.setup_state(0)
+        t.validate(0)
+
+    full = []
+    run_host(0, 1, full)
+
+    shards = []
+    for h in range(2):
+        cap = []
+        run_host(h, 2, cap)
+        shards.append(cap[0])
+        assert 0 < len(cap[0]) < len(full[0])  # a strict subset per host
+
+    combined = np.concatenate(shards, axis=0)
+    assert len(combined) == len(full[0])  # disjoint + exhaustive
+    # identical global metric to the redundant path (same seqs, same weights)
+    assert np.isclose(np.mean(combined[:, 1]), np.mean(full[0][:, 1]))
+    assert set(map(tuple, combined.tolist())) == set(map(tuple, full[0].tolist()))
+
+
+def test_allgather_rows_single_process_passthrough():
+    from feartracker_tpu.parallel.multihost import allgather_rows
+
+    rows = np.array([[0.0, 0.5, 0.1], [1.0, 0.7, 0.0]])
+    np.testing.assert_array_equal(allgather_rows(rows), rows)
+    assert allgather_rows(np.zeros((0, 3))).shape[0] == 0
+
+
 def test_distributed_initialize_is_idempotent(monkeypatch):
     from feartracker_tpu.parallel import multihost
 

@@ -224,3 +224,35 @@ def test_trainer_resume_from_last(tiny_config):
     resumed = Trainer({**cfg, "resume": True, "max_epochs": 2})
     resumed.fit()
     assert int(resumed.state.step) == steps_before * 2  # continued, not restarted
+
+
+def test_resume_epoch_survives_dataset_size_change(tiny_config):
+    """The resumed epoch comes from checkpoint metadata, not from
+    step // steps_per_epoch: doubling the per-epoch sample count between the
+    crashed and the resumed run must not shift the epoch counter (which would
+    silently desync resample replay and the frame-offset curriculum)."""
+    import copy
+
+    from feartracker_tpu.train.loop import Trainer
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg["experiment"]["name"] = "RESUME_SIZED"
+    cfg["max_epochs"] = 2
+    first = Trainer(cfg)
+    first.fit()  # 2 epochs of 8 samples -> last checkpoint records epoch=2
+
+    # resumed run sees a 1.5x-size epoch (12 samples / batch 4 = 3 steps):
+    # step-derived epoch would be 4 // 3 = 1, replaying the wrong epoch state
+    bigger = copy.deepcopy(cfg)
+    bigger["train"]["datasets"][0]["sampling"]["num_samples"] = 12
+    bigger["resume"] = True
+    noop = Trainer(bigger)
+    noop.fit()
+    assert noop.resumed_epoch == 2  # metadata, not derivation
+    assert int(noop.state.step) == int(first.state.step)  # nothing re-trained
+
+    third = Trainer({**copy.deepcopy(bigger), "max_epochs": 3})
+    third.fit()
+    assert third.resumed_epoch == 2
+    # exactly one extra epoch at the new size
+    assert int(third.state.step) == int(first.state.step) + 3
