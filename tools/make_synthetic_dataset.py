@@ -31,7 +31,29 @@ def _textured_background(rng, size):
     return np.clip(bg.astype(int) + noise, 0, 255).astype(np.uint8)
 
 
-def _draw_object(img, rng, cx, cy, w, h, color, kind):
+def _draw_object(img, rng, cx, cy, w, h, color, kind, angle=0.0):
+    """Draw a (possibly rotated) shape; returns its axis-aligned xywh bbox."""
+    if angle:
+        if kind == 1:
+            cv2.ellipse(img, (int(cx), int(cy)), (int(w / 2), int(h / 2)),
+                        angle, 0, 360, color, -1)
+            rad = np.deg2rad(angle)
+            ex = np.hypot(w / 2 * np.cos(rad), h / 2 * np.sin(rad))
+            ey = np.hypot(w / 2 * np.sin(rad), h / 2 * np.cos(rad))
+            x1, y1, x2, y2 = cx - ex, cy - ey, cx + ex, cy + ey
+        else:
+            if kind == 0:
+                pts = cv2.boxPoints(((float(cx), float(cy)), (float(w), float(h)), float(angle)))
+            else:
+                base = np.array([[0.0, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]])
+                rad = np.deg2rad(angle)
+                rot = np.array([[np.cos(rad), -np.sin(rad)], [np.sin(rad), np.cos(rad)]])
+                pts = base @ rot.T + [cx, cy]
+            cv2.fillPoly(img, [pts.astype(np.int32)], color)
+            x1, y1 = pts.min(axis=0)
+            x2, y2 = pts.max(axis=0)
+        x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+        return [x1, y1, x2 - x1, y2 - y1]
     x1, y1 = int(cx - w / 2), int(cy - h / 2)
     x2, y2 = int(cx + w / 2), int(cy + h / 2)
     if kind == 0:
@@ -45,10 +67,28 @@ def _draw_object(img, rng, cx, cy, w, h, color, kind):
 
 
 def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractors=2,
-                   appearance_drift=0.0):
+                   appearance_drift=0.0, scenario="drift"):
     """``appearance_drift`` ∈ [0, 1]: the object's color linearly morphs to a
     second random color over the track (0 = static appearance + small jitter
-    only) — the regime the dual-template update exists for."""
+    only).
+
+    ``scenario`` selects a structural-appearance-change regime — the events
+    the dual-template update exists for (VERDICT r2 #3):
+
+    * ``"drift"``     — color morph only (the original generator);
+    * ``"occlusion"`` — two occluder bars sweep across the frame and pass
+      over the object around 1/3 and 2/3 of the track (frames where the
+      target is mostly hidden; a confidence-gated template update must NOT
+      absorb the occluder);
+    * ``"pose"``      — out-of-plane pose morph: the shape rotates through
+      ~140° over the track with foreshortening (apparent width shrinks to
+      35%) and view-dependent shading — by mid-track the appearance is
+      structurally unlike the init template;
+    * ``"swap"``      — distractor-swap event: a same-color, same-shape
+      distractor crosses the target's path at mid-track, drawn ON TOP (it
+      momentarily occludes the target) and continues — the classic identity
+      -swap trap.
+    """
     h, w = size
     bg = _textured_background(rng, size)
     color = tuple(int(c) for c in rng.randint(120, 255, 3))
@@ -62,6 +102,12 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
          rng.uniform(0, w), rng.uniform(0, h), rng.uniform(12, 36), rng.uniform(-3, 3), rng.uniform(-3, 3))
         for _ in range(distractors)
     ]
+    # occluder bars: (width, color, crossing frame) — they sweep left→right
+    # timed so the bar center meets the OBJECT center at the crossing frame
+    occluders = [
+        (rng.uniform(0.8, 1.2), tuple(int(c) for c in rng.randint(40, 220, 3)), n_frames // 3),
+        (rng.uniform(0.8, 1.2), tuple(int(c) for c in rng.randint(40, 220, 3)), (2 * n_frames) // 3),
+    ]
     rows = []
     for f in range(n_frames):
         img = bg.copy()
@@ -73,10 +119,35 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
         scale = 1.0 + 0.25 * np.sin(f / 6.0)
         cxf = np.clip(cx + vx * f, 0.15 * w, 0.85 * w)
         cyf = np.clip(cy + vy * f, 0.15 * h, 0.85 * h)
-        t_drift = appearance_drift * f / max(n_frames - 1, 1)
+        t = f / max(n_frames - 1, 1)
+        t_drift = appearance_drift * t
         base = tuple((1 - t_drift) * a + t_drift * b for a, b in zip(color, color2))
+        angle = 0.0
+        w_eff = ow * scale
+        if scenario == "pose":
+            angle = 140.0 * t
+            fore = 0.35 + 0.65 * abs(np.cos(np.deg2rad(angle)))
+            w_eff *= fore  # out-of-plane foreshortening
+            shade = 0.55 + 0.45 * fore  # view-dependent shading
+            base = tuple(c * shade for c in base)
         jitter = tuple(int(np.clip(c + rng.randint(-10, 11), 0, 255)) for c in base)
-        bbox = _draw_object(img, rng, cxf, cyf, ow * scale, oh * scale, jitter, kind)
+        bbox = _draw_object(img, rng, cxf, cyf, w_eff, oh * scale, jitter, kind, angle=angle)
+        if scenario == "swap":
+            # same-appearance distractor crossing the target at mid-track,
+            # drawn on top: starts offset, meets the object at n/2, moves on
+            mid = n_frames / 2.0
+            sx = cxf + (f - mid) * 5.0
+            sy = cyf + (f - mid) * 1.5
+            if 0 <= sx < w and 0 <= sy < h:
+                _draw_object(img, rng, sx, sy, ow * scale, oh * scale, jitter, kind)
+        if scenario == "occlusion":
+            for bw_scale, ocolor, f_cross in occluders:
+                bar_w = int(ow * bw_scale)
+                # bar sweeps at 6 px/frame; positioned to cover the object
+                # center exactly at f_cross
+                bx = int(cxf + (f - f_cross) * 6.0)
+                if -bar_w < bx < w + bar_w:
+                    cv2.rectangle(img, (bx - bar_w // 2, 0), (bx + bar_w // 2, h), ocolor, -1)
         path = f"{track_id}_f{f:04d}.jpg"
         cv2.imwrite(os.path.join(out_dir, path), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         near = int(bbox[0] <= 2 or bbox[1] <= 2 or bbox[0] + bbox[2] >= w - 2 or bbox[1] + bbox[3] >= h - 2)
@@ -91,14 +162,14 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
 
 
 def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224),
-             appearance_drift=0.0):
+             appearance_drift=0.0, scenario="drift"):
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
     rows = []
     for t in range(tracks):
         rows += generate_track(rng, img_dir, f"track{t:04d}", frames, size=size,
-                               appearance_drift=appearance_drift)
+                               appearance_drift=appearance_drift, scenario=scenario)
     df = pd.DataFrame(rows)
     df["img_path"] = "images/" + df["img_path"]
     csv_path = os.path.join(root, "train.csv")
@@ -113,7 +184,7 @@ def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224
         seq_dir = os.path.join(val_base, seq)
         os.makedirs(seq_dir, exist_ok=True)
         vrows = generate_track(rng, seq_dir, seq, frames, size=size,
-                               appearance_drift=appearance_drift)
+                               appearance_drift=appearance_drift, scenario=scenario)
         gt = []
         for i, r in enumerate(vrows):
             src = os.path.join(seq_dir, r["img_path"])
@@ -137,11 +208,15 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--appearance_drift", type=float, default=0.0,
                    help="0..1: object color morphs to a second color over the track")
+    p.add_argument("--scenario", default="drift",
+                   choices=["drift", "occlusion", "pose", "swap"],
+                   help="structural-appearance-change regime (see generate_track)")
     p.add_argument("--height", type=int, default=160)
     p.add_argument("--width", type=int, default=224)
     args = p.parse_args()
     csv_path = generate(args.root, args.tracks, args.frames, args.val_sequences, args.seed,
-                    size=(args.height, args.width), appearance_drift=args.appearance_drift)
+                    size=(args.height, args.width), appearance_drift=args.appearance_drift,
+                    scenario=args.scenario)
     print(f"wrote {csv_path} + val sequences under {args.root}/got10k/val")
 
 
