@@ -74,6 +74,7 @@ class ScanTracker:
         crop_impl: str = "mm",
         postprocess_impl: str = "xla",
         trunk_impl: str = "xla",
+        scan_unroll: int = 1,
     ):
         # "mm" = separable-matmul crop (MXU, fast); "gather" = index-based
         # (bit-identical reference semantics; both match to float rounding)
@@ -107,6 +108,13 @@ class ScanTracker:
         if update_interval < 1:
             raise ValueError(f"update_interval must be >= 1, got {update_interval}")
         self.update_interval = int(update_interval)
+        # unroll the per-frame scan body K× (lax.scan unroll): 1/K the scan
+        # boundary copies and a K-step fusion window for XLA, at K× the HLO.
+        # Measured on chip: no gain beyond noise (BENCHMARKS.md roofline
+        # close-out), kept as an experiment knob.
+        if scan_unroll < 1:
+            raise ValueError(f"scan_unroll must be >= 1, got {scan_unroll}")
+        self.scan_unroll = int(scan_unroll)
         self.dtype = dtype
         self._folded = self._fold() if self.trunk_impl == "fused" else None
         # weights ride as jit arguments (device arrays), not baked constants;
@@ -254,7 +262,8 @@ class ScanTracker:
         ``update_interval`` cadence across chunked track() calls."""
         idx = jnp.arange(frames.shape[0]) + start_step
         return jax.lax.scan(
-            lambda c, ft: self._step_impl(variables, folded, c, ft[0], ft[1]), state, (frames, idx)
+            lambda c, ft: self._step_impl(variables, folded, c, ft[0], ft[1]),
+            state, (frames, idx), unroll=self.scan_unroll,
         )
 
     # -- public API --------------------------------------------------------

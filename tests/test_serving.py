@@ -31,6 +31,25 @@ def _frames(rng, n=1):
     return rng.randint(0, 255, (n, *HW, 3)).astype(np.float32)
 
 
+def test_scan_unroll_is_equivalent(tracker):
+    """lax.scan unroll (the roofline probe knob) must not change outputs —
+    including a T not divisible by the unroll factor."""
+    rng = np.random.RandomState(4)
+    frames = np.stack([np.broadcast_to(_frames(rng)[0], (2, *HW, 3)) for _ in range(5)])
+    b0 = np.array([[40, 30, 30, 40], [20, 20, 30, 30]], np.float32)
+    ref = None
+    for unroll in (1, 2, 4):
+        tr = ScanTracker(tracker.model, tracker.variables, CFG, scan_unroll=unroll)
+        st = tr.init(frames[0], b0)
+        st, out = tr.track(st, frames)
+        if ref is None:
+            ref = np.asarray(out["bbox"])
+        else:
+            np.testing.assert_allclose(np.asarray(out["bbox"]), ref, atol=1e-5)
+    with pytest.raises(ValueError):
+        ScanTracker(tracker.model, tracker.variables, CFG, scan_unroll=0)
+
+
 def test_slot_lifecycle(tracker):
     rng = np.random.RandomState(0)
     pool = StreamPool(tracker, capacity=4, frame_hw=HW)
