@@ -98,3 +98,20 @@ def test_batched_evaluate_runs(synthetic_got10k):
     assert 0.0 <= res["ao"] <= 1.0
     # per-sequence overlap arrays have len = seq_len - 1
     assert set(res["per_sequence"]) == {f"GOT-10k_Val_{s:06d}" for s in range(3)}
+
+    # multi-host shard striding: hosts cover disjoint, jointly-exhaustive
+    # sequence subsets with per-sequence scores matching the full run
+    shards = [
+        batched_evaluate(tracker, dataset, streams=2, frame_hw=(96, 128), chunk=4,
+                         sequence_stride=(rank, 2))
+        for rank in range(2)
+    ]
+    names = [set(s["per_sequence"]) for s in shards]
+    assert names[0] | names[1] == set(res["per_sequence"]) and not (names[0] & names[1])
+    for s in shards:
+        for name, ao in s["per_sequence"].items():
+            assert ao == pytest.approx(res["per_sequence"][name], abs=1e-6)
+    # a rank with no sequences yields an empty, well-formed result
+    empty = batched_evaluate(tracker, dataset, streams=2, frame_hw=(96, 128), chunk=4,
+                             sequence_stride=(3, 4))
+    assert empty["num_sequences"] == 0 and empty["per_sequence"] == {}

@@ -118,6 +118,70 @@ def test_trainer_partial_warm_start_fear_tiny():
     )
 
 
+def test_pretrain_trunk_feeds_partial_warm_start(tmp_path):
+    """tools/pretrain_trunk.py (the mobile_cv ImageNet-pretraining analog):
+    classification-pretrains a trunk on an ImageFolder layout and exports a
+    trunk-prefix npz whose every encoder leaf transfers into the tracker."""
+    import os
+    import sys
+
+    import cv2
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.pretrain_trunk import train as pretrain
+
+    # 2-class ImageFolder: red squares vs green circles (learnable in a few steps)
+    rng = np.random.RandomState(0)
+    for cls, draw in (("red_sq", 0), ("green_circ", 1)):
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(16):
+            img = np.full((48, 48, 3), 30, np.uint8)
+            x, y = rng.randint(8, 24, 2)
+            if draw == 0:
+                cv2.rectangle(img, (x, y), (x + 16, y + 16), (0, 0, 220), -1)
+            else:
+                cv2.circle(img, (x + 8, y + 8), 9, (0, 220, 0), -1)
+            cv2.imwrite(str(d / f"{i}.jpg"), img)
+
+    out = str(tmp_path / "tiny_trunk.npz")
+    res = pretrain(str(tmp_path / "data"), "fear_tiny", out,
+                   epochs=3, batch_size=8, image_size=32, lr=3e-3, log_every=100)
+    assert res["history"][-1]["acc"] >= res["history"][0]["acc"]
+    assert res["arrays"] > 0
+
+    # the exported npz warm-starts the matching trunk: every encoder leaf
+    # transfers, nothing shape-mismatches
+    from flax.traverse_util import flatten_dict
+
+    from feartracker_tpu.convert.load import load_npz_variables, transfer_variables
+    from feartracker_tpu.train.loop import Trainer
+
+    tr = Trainer(_tiny_trainer_config(None))
+    tr.setup_state()
+    target = {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
+    loaded = load_npz_variables(out)
+    merged, report = transfer_variables(loaded, target)
+    assert not report["skipped_shape"] and not report["unused"]
+    encoder_leaves = [k for k in
+                      ("/".join(p) for p in flatten_dict(target["params"]))
+                      if k.startswith("encoder/")]
+    assert len([k for k in report["transferred"] if "encoder" in k]) \
+        == len(encoder_leaves) + len([
+            k for k in ("/".join(p) for p in flatten_dict(target["batch_stats"]))
+            if k.startswith("encoder/")
+        ])
+
+    # and drives the Trainer's pretrained_weights path end-to-end
+    tr2 = Trainer(_tiny_trainer_config(out))
+    tr2.setup_state()
+    got = {"/".join(k): np.asarray(v) for k, v in flatten_dict(tr2.state.params).items()}
+    src = {"/".join(k): v for k, v in flatten_dict(loaded).items()}
+    np.testing.assert_array_equal(
+        got["encoder/stem/conv/kernel"], src["params/encoder/stem/conv/kernel"]
+    )
+
+
 def test_trainer_rejects_incompatible_source(tmp_path):
     """A source sharing no leaf with the target fails loudly instead of
     silently training from scratch."""
