@@ -40,7 +40,7 @@ def load_npz_variables(path: str) -> Dict[str, Any]:
 
 def transfer_variables(
     loaded: Dict[str, Any], target: Dict[str, Any]
-) -> tuple:
+) -> "tuple[Dict[str, Any], Dict[str, list]]":
     """Non-strict weight transfer — the analog of the reference's
     ``strict=False → transfer_weights`` fallback (ref: utils/torch.py:21-24):
     copy every leaf whose path AND shape match the target, leave the rest at

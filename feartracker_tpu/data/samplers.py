@@ -86,9 +86,10 @@ class TrackSampler:
                 .reset_index(drop=True)
             )
 
-    def extract_sample(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, Any]:
-        rng = self.rng if rng is None else rng  # callers pass a per-item rng for thread safety
-        template_item = self.epoch_data.iloc[idx]
+    def _pair_for_template(self, template_item, rng: np.random.RandomState) -> Dict[str, Any]:
+        """Draw the search frame for a template row: within ±frame_offset of
+        it when ``clip_range``, else uniformly from the track
+        (track_sampling.py:98-115)."""
         track_indices = self.mapping[template_item["track_id"]]
         if self.clip_range:
             search_items = self.data.loc[track_indices]
@@ -100,6 +101,10 @@ class TrackSampler:
         else:
             search_item = self.data.loc[rng.choice(track_indices)]
         return dict(template=template_item, search=search_item)
+
+    def extract_sample(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, Any]:
+        rng = self.rng if rng is None else rng  # callers pass a per-item rng for thread safety
+        return self._pair_for_template(self.epoch_data.iloc[idx], rng)
 
 
 class FrameSampler(TrackSampler):
@@ -156,15 +161,4 @@ class FrameSampler(TrackSampler):
 
     def extract_sample(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, Any]:
         rng = self.rng if rng is None else rng
-        template_item = self.data.loc[self.indices[idx]]
-        track_indices = self.mapping[template_item["track_id"]]
-        if self.clip_range:
-            search_items = self.data.loc[track_indices]
-            in_range = search_items[
-                (search_items["frame_index"] > template_item["frame_index"] - self.frame_offset)
-                & (search_items["frame_index"] < template_item["frame_index"] + self.frame_offset)
-            ]
-            search_item = in_range.sample(1, random_state=rng).iloc[0]
-        else:
-            search_item = self.data.loc[rng.choice(track_indices)]
-        return dict(template=template_item, search=search_item)
+        return self._pair_for_template(self.data.loc[self.indices[idx]], rng)

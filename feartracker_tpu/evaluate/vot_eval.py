@@ -153,8 +153,7 @@ def evaluate_vot(
         # the synthetic init-frame 1.0 and the failure frame's 0.0 never
         # count toward accuracy (VOT toolkit convention), independent of burnin
         scored[np.asarray(inits, int)] = False
-        if failures:
-            scored[np.asarray(failures, int)] = False
+        scored[np.asarray(failures, int)] = False
         seq_ovs = overlaps[scored]
         seq_acc = float(seq_ovs.mean()) if len(seq_ovs) else 0.0
         all_ovs.extend(seq_ovs.tolist())

@@ -63,8 +63,10 @@ def is_master() -> bool:
 
 
 def allgather_rows(rows) -> "np.ndarray":
-    """Gather per-host float row-blocks of VARYING row counts into one
-    global (sum_rows, C) array, identical on every host.
+    """Gather per-host (N_host, C) float row-blocks of VARYING row counts
+    into one global (sum_rows, C) array, identical on every host. ``rows``
+    must already be 2-D with the same column count on every host (callers
+    ``reshape(-1, C)`` so empty blocks keep their width).
 
     Used to shard online validation: each host tracks a process_index-strided
     subset of the val sequences and contributes its per-sequence rows; the
@@ -76,19 +78,14 @@ def allgather_rows(rows) -> "np.ndarray":
     import numpy as np
 
     rows = np.asarray(rows, np.float64)
-    if rows.ndim != 2:
-        rows = rows.reshape(-1, rows.shape[-1] if rows.size else 1)
+    assert rows.ndim == 2, f"rows must be (N, C), got shape {rows.shape}"
     if process_count() == 1:
         return rows
     from jax.experimental import multihost_utils as mhu
 
-    counts = np.asarray(mhu.process_allgather(np.asarray([rows.shape[0]])))
-    counts = counts.reshape(-1)
-    max_rows = int(counts.max())
-    cols = rows.shape[1] if rows.size else 1
-    padded = np.full((max_rows, max(cols, 1)), np.nan)
-    if rows.size:
-        padded[: rows.shape[0], :] = rows
+    counts = np.asarray(mhu.process_allgather(np.asarray([rows.shape[0]]))).reshape(-1)
+    padded = np.full((int(counts.max()), rows.shape[1]), np.nan)
+    padded[: rows.shape[0], :] = rows
     gathered = np.asarray(mhu.process_allgather(padded))  # (P, max_rows, C)
     return np.concatenate(
         [gathered[p, : counts[p]] for p in range(gathered.shape[0])], axis=0

@@ -12,6 +12,7 @@ exactly.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -74,16 +75,12 @@ class CheckpointManager:
             ckptr.save(path, jax.tree.map(np.asarray, state._asdict()))
             ckptr.wait_until_finished()
             if extra is not None:
-                import json
-
                 with open(os.path.join(self._last_dir, "meta.json"), "w") as fh:
                     json.dump(extra, fh)
 
     def load_meta(self) -> Optional[Dict[str, Any]]:
         """The ``extra`` dict stored with the last checkpoint, if any
         (absent for checkpoints written before epoch persistence)."""
-        import json
-
         path = os.path.join(self._last_dir, "meta.json")
         if not os.path.exists(path):
             return None

@@ -471,7 +471,7 @@ class Trainer:
             metrics["box_iou"] = float(np.mean(rows[:, 1]))
             self.writer.add_scalar("valid/metrics/box_iou", metrics["box_iou"], epoch)
         for d_idx, ds in enumerate(self.val_datasets):
-            sel = rows[rows[:, 0] == d_idx] if len(rows) else rows
+            sel = rows[rows[:, 0] == d_idx]
             if not len(sel):
                 continue
             metrics[f"{ds.name}_box_iou"] = float(np.mean(sel[:, 1]))
@@ -507,7 +507,7 @@ class Trainer:
         # and is only emitted single-process.
         rank, world = multihost.process_index(), multihost.process_count()
         metrics: Dict[str, float] = {}
-        all_seq_means: List[float] = []
+        local_rows: List[List[float]] = []  # (dataset_idx, seq_mean, seq_fail)
         for d_idx, ds in enumerate(self.val_datasets):
             res = batched_evaluate(
                 self._batched_val_tracker, ds,
@@ -515,25 +515,27 @@ class Trainer:
                 max_sequences=int(val_percent) if val_percent else None,
                 sequence_stride=(rank, world),
             )
-            local = [
+            local_rows += [
                 [float(d_idx), float(np.mean(ov)), float(np.mean(np.asarray(ov) < iou_threshold))]
                 for ov in res["per_sequence"].values()
             ]
-            rows = multihost.allgather_rows(np.asarray(local, np.float64).reshape(-1, 3))
-            seq_means = rows[:, 1].tolist() if len(rows) else []
-            fails = rows[:, 2].tolist() if len(rows) else []
-            all_seq_means += seq_means
-            metrics[f"{ds.name}_box_iou"] = float(np.mean(seq_means)) if seq_means else 0.0
-            self.writer.add_scalar(f"valid/metrics/{ds.name}_box_iou", metrics[f"{ds.name}_box_iou"], epoch)
-            self.writer.add_scalar(
-                f"valid/metrics/{ds.name}_failure_rate",
-                float(np.mean(fails)) if fails else 0.0, epoch,
-            )
             if "precision_20px" in res and world == 1:
                 metrics[f"{ds.name}_precision_20px"] = float(res["precision_20px"])
                 self.writer.add_scalar(
                     f"valid/metrics/{ds.name}_precision_20px", res["precision_20px"], epoch
                 )
+        # one collective for every dataset's per-sequence rows
+        rows = multihost.allgather_rows(np.asarray(local_rows, np.float64).reshape(-1, 3))
+        all_seq_means: List[float] = rows[:, 1].tolist() if len(rows) else []
+        for d_idx, ds in enumerate(self.val_datasets):
+            sel = rows[rows[:, 0] == d_idx]
+            if not len(sel):
+                continue
+            metrics[f"{ds.name}_box_iou"] = float(np.mean(sel[:, 1]))
+            self.writer.add_scalar(f"valid/metrics/{ds.name}_box_iou", metrics[f"{ds.name}_box_iou"], epoch)
+            self.writer.add_scalar(
+                f"valid/metrics/{ds.name}_failure_rate", float(np.mean(sel[:, 2])), epoch
+            )
         if not all_seq_means:
             # nothing scorable (e.g. test splits with init-only groundtruth):
             # match the sequential path's {} so fit()'s monitor=None branch

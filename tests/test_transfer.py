@@ -185,12 +185,10 @@ def test_pretrain_trunk_feeds_partial_warm_start(tmp_path):
 def test_trainer_rejects_incompatible_source(tmp_path):
     """A source sharing no leaf with the target fails loudly instead of
     silently training from scratch."""
-    import pytest as _pytest
-
     from feartracker_tpu.train.loop import Trainer
 
     bogus = str(tmp_path / "bogus.npz")
     np.savez(bogus, **{"params/nonsense/kernel": np.ones((3, 3), np.float32)})
     tr = Trainer(_tiny_trainer_config(bogus))
-    with _pytest.raises(ValueError, match="no weights transferred"):
+    with pytest.raises(ValueError, match="no weights transferred"):
         tr.setup_state()

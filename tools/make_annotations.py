@@ -276,7 +276,7 @@ def make_youtube_bb(root: str, subset: str = "train", path_template: str = "") -
             if rel is None or not os.path.exists(os.path.join(root, rel)):
                 missing += 1
                 continue
-            if rel not in shape_cache and vid not in shape_cache:
+            if vid not in shape_cache:
                 shape_cache[vid] = _frame_shape(os.path.join(root, rel))
             W, H = shape_cache[vid]
             present = str(row.object_presence).strip().lower() in ("present", "1", "true")
