@@ -73,7 +73,9 @@ def allgather_rows(rows) -> "np.ndarray":
     gathered result feeds plateau/early-stop decisions in lockstep at 1/N
     the per-host tracking cost. Single-process: returns the input unchanged
     (no device ops). Multi-process: NaN-pads every host's block to the global
-    max row count, ``process_allgather``s once, strips padding.
+    max row count, ``process_allgather``s once, strips padding. Values ride
+    the collective as float32 (JAX x64 is off) — metric precision, which is
+    all the validation rows need.
     """
     import numpy as np
 

@@ -75,10 +75,19 @@ for _ in range(2):
 # fully-addressable reductions (params are replicated on every device)
 param_sum = float(sum(np.abs(np.asarray(p)).sum() for p in jax.tree.leaves(state.params)))
 bn_sum = float(sum(np.abs(np.asarray(p)).sum() for p in jax.tree.leaves(state.batch_stats)))
+
+# the sharded-validation gather, over the REAL collective: hosts contribute
+# DIFFERENT row counts (pid+1 rows each) and must all see the same global
+# row set (order is by process rank)
+val_rows = multihost.allgather_rows(
+    np.array([[float(pid), 0.5 + pid + 0.1 * r, float(r)] for r in range(pid + 1)])
+)
+
 print(json.dumps({
     "pid": pid,
     "loss": float(metrics["loss"]),
     "param_sum": round(param_sum, 6),
     "bn_sum": round(bn_sum, 6),
     "step": int(state.step),
+    "val_rows": np.asarray(val_rows).tolist(),
 }))

@@ -51,3 +51,9 @@ def test_two_process_dp_training_identical_params():
     # -> hosts stay bit-identical even though their local batches differ
     assert by_pid[0]["param_sum"] == by_pid[1]["param_sum"]
     assert by_pid[0]["bn_sum"] == by_pid[1]["bn_sum"]
+    # sharded-validation gather over the real collective: host 0 contributed
+    # 1 row, host 1 contributed 2; every host sees the identical global set
+    # (float32 through the collective — metric precision, not bit-parity)
+    expect = [[0.0, 0.5, 0.0], [1.0, 1.5, 0.0], [1.0, 1.6, 1.0]]
+    np.testing.assert_allclose(by_pid[0]["val_rows"], expect, atol=1e-6)
+    assert by_pid[0]["val_rows"] == by_pid[1]["val_rows"]
