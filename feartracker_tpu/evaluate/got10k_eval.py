@@ -136,6 +136,13 @@ def summarize(
             precision_20px=float(prec[20]),
             norm_precision_curve=nprec.tolist(),
             norm_precision_auc=float(nprec.mean()),
+            # per-sequence scalar (mean over sequences == precision_20px):
+            # lets multi-host callers gather sequence rows and recompute
+            # identical aggregates
+            per_sequence_precision_20px={
+                name: float(p["precision_curve"][20])
+                for name, p in zip(seq_names, seq_precision)
+            },
         )
     return res
 

@@ -502,12 +502,11 @@ class Trainer:
         val_percent = self.config.get("val_percent")  # sanity check / cap
         iou_threshold = 0.01
         # multi-host: each host tracks its process_index-strided shard and the
-        # per-sequence rows are allgathered (identical global metrics at 1/N
-        # the tracking cost per host). precision_20px is host-local aggregate
-        # and is only emitted single-process.
+        # per-sequence rows (mean IoU, failure, precision@20px) are
+        # allgathered — identical global metrics at 1/N the tracking cost
         rank, world = multihost.process_index(), multihost.process_count()
         metrics: Dict[str, float] = {}
-        local_rows: List[List[float]] = []  # (dataset_idx, seq_mean, seq_fail)
+        local_rows: List[List[float]] = []  # (dataset_idx, seq_mean, seq_fail, seq_prec20)
         for d_idx, ds in enumerate(self.val_datasets):
             res = batched_evaluate(
                 self._batched_val_tracker, ds,
@@ -515,17 +514,15 @@ class Trainer:
                 max_sequences=int(val_percent) if val_percent else None,
                 sequence_stride=(rank, world),
             )
+            prec = res.get("per_sequence_precision_20px", {})
             local_rows += [
-                [float(d_idx), float(np.mean(ov)), float(np.mean(np.asarray(ov) < iou_threshold))]
-                for ov in res["per_sequence"].values()
+                [float(d_idx), float(np.mean(ov)),
+                 float(np.mean(np.asarray(ov) < iou_threshold)),
+                 float(prec.get(name, np.nan))]
+                for name, ov in res["per_sequence"].items()
             ]
-            if "precision_20px" in res and world == 1:
-                metrics[f"{ds.name}_precision_20px"] = float(res["precision_20px"])
-                self.writer.add_scalar(
-                    f"valid/metrics/{ds.name}_precision_20px", res["precision_20px"], epoch
-                )
         # one collective for every dataset's per-sequence rows
-        rows = multihost.allgather_rows(np.asarray(local_rows, np.float64).reshape(-1, 3))
+        rows = multihost.allgather_rows(np.asarray(local_rows, np.float64).reshape(-1, 4))
         all_seq_means: List[float] = rows[:, 1].tolist() if len(rows) else []
         for d_idx, ds in enumerate(self.val_datasets):
             sel = rows[rows[:, 0] == d_idx]
@@ -536,6 +533,13 @@ class Trainer:
             self.writer.add_scalar(
                 f"valid/metrics/{ds.name}_failure_rate", float(np.mean(sel[:, 2])), epoch
             )
+            if np.isfinite(sel[:, 3]).all():
+                # mean over per-sequence precision == the aggregate curve[20]
+                metrics[f"{ds.name}_precision_20px"] = float(np.mean(sel[:, 3]))
+                self.writer.add_scalar(
+                    f"valid/metrics/{ds.name}_precision_20px",
+                    metrics[f"{ds.name}_precision_20px"], epoch,
+                )
         if not all_seq_means:
             # nothing scorable (e.g. test splits with init-only groundtruth):
             # match the sequential path's {} so fit()'s monitor=None branch
