@@ -43,6 +43,7 @@ def main():
     ap.add_argument("--sequences", type=int, default=8)
     ap.add_argument("--update_threshold", type=float, default=0.85)
     ap.add_argument("--update_rate", type=float, default=0.2)
+    ap.add_argument("--seed", type=int, default=7, help="dataset generator seed")
     ap.add_argument("--root", default=None, help="existing dataset root pattern (skips generation)")
     args = ap.parse_args()
 
@@ -55,10 +56,10 @@ def main():
     work = args.root or tempfile.mkdtemp(prefix="dual_ablation_")
     intervals = [int(i) for i in args.intervals.split(",")]
     for scenario in args.scenarios.split(","):
-        root = os.path.join(work, scenario)
+        root = os.path.join(work, f"{scenario}_s{args.seed}")
         if not os.path.isdir(os.path.join(root, "got10k")):
             generate(root, tracks=1, frames=args.frames,
-                     val_sequences=args.sequences, seed=7,
+                     val_sequences=args.sequences, seed=args.seed,
                      appearance_drift=args.drift if scenario == "drift" else 0.0,
                      scenario=scenario)
         ds = GOT10kDataset(os.path.join(root, "got10k"), subset="val")
@@ -76,7 +77,7 @@ def main():
                 tracker, prov = build_scan_tracker(**kw)
                 res = batched_evaluate(tracker, ds, streams=args.sequences)
                 print(json.dumps({
-                    "scenario": scenario, "mode": mode,
+                    "scenario": scenario, "mode": mode, "seed": args.seed,
                     "interval": interval, "weights": prov,
                     "ao": round(res["ao"], 4), "sr50": round(res["sr50"], 4),
                     "sr75": round(res["sr75"], 4),
