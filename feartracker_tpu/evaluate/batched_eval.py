@@ -58,11 +58,6 @@ def batched_evaluate(
     ``sequence_stride=(rank, world)`` restricts to every world-th scorable
     sequence starting at rank — the multi-host validation shard (applied
     AFTER the max_sequences cap so every host agrees on the capped set)."""
-    pool = ThreadPoolExecutor(decode_workers)
-    seq_overlaps: List[np.ndarray] = []
-    seq_names: List[str] = []
-    seq_precision: List[Dict[str, np.ndarray]] = []
-
     # sequences need at least an init frame + one scored frame (GOT-10k test
     # groundtruth carries only the init row — those cannot be scored locally)
     scorable = [
@@ -79,6 +74,11 @@ def batched_evaluate(
         scorable = scorable[rank::world]
     if not scorable:
         return summarize([], [], [])
+
+    pool = ThreadPoolExecutor(decode_workers)
+    seq_overlaps: List[np.ndarray] = []
+    seq_names: List[str] = []
+    seq_precision: List[Dict[str, np.ndarray]] = []
 
     # sharded trackers need the stream axis divisible by the mesh: pad short
     # groups by repeating the last sequence; padded streams are tracked but
