@@ -195,6 +195,9 @@ def cmd_eval(args) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--platform", default="",
+                   help="jax platform override (e.g. 'cpu' — the env var is "
+                        "pinned by sitecustomize here, so use this flag)")
     p.add_argument("--weights_path", default=DEFAULT_WEIGHTS,
                    help=".mlmodel (CoreML export), .ckpt (Lightning), or an "
                         "Orbax training-checkpoint/experiment directory")
@@ -252,6 +255,10 @@ def main() -> None:
                         help="write an OPE precision plot (PNG) here")
 
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.cmd == "got10k":
         args.dataset = "got10k"
     {"macs": cmd_macs, "fps": cmd_fps, "got10k": cmd_eval, "eval": cmd_eval}[args.cmd](args)
