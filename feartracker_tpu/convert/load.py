@@ -63,7 +63,9 @@ def transfer_variables(
         name = "/".join(k)
         if k in flat_l:
             if tuple(np.shape(flat_l[k])) == tuple(np.shape(v)):
-                merged[k] = flat_l[k]
+                # cast to the target leaf's dtype: a float16/float64 source
+                # must not silently smuggle mixed precision into the state
+                merged[k] = np.asarray(flat_l[k], np.asarray(v).dtype)
                 report["transferred"].append(name)
             else:
                 merged[k] = v

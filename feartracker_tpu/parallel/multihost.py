@@ -79,14 +79,15 @@ def allgather_rows(rows) -> "np.ndarray":
     """
     import numpy as np
 
-    rows = np.asarray(rows, np.float64)
-    assert rows.ndim == 2, f"rows must be (N, C), got shape {rows.shape}"
+    rows = np.asarray(rows, np.float32)  # explicit: config-independent dtype
+    if rows.ndim != 2:
+        raise ValueError(f"rows must be (N, C), got shape {rows.shape}")
     if process_count() == 1:
         return rows
     from jax.experimental import multihost_utils as mhu
 
     counts = np.asarray(mhu.process_allgather(np.asarray([rows.shape[0]]))).reshape(-1)
-    padded = np.full((int(counts.max()), rows.shape[1]), np.nan)
+    padded = np.full((int(counts.max()), rows.shape[1]), np.nan, np.float32)
     padded[: rows.shape[0], :] = rows
     gathered = np.asarray(mhu.process_allgather(padded))  # (P, max_rows, C)
     return np.concatenate(

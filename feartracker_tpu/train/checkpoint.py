@@ -75,17 +75,27 @@ class CheckpointManager:
             ckptr.save(path, jax.tree.map(np.asarray, state._asdict()))
             ckptr.wait_until_finished()
             if extra is not None:
-                with open(os.path.join(self._last_dir, "meta.json"), "w") as fh:
+                # atomic write: a crash between the state save and this
+                # point must never leave a TRUNCATED meta.json behind
+                path = os.path.join(self._last_dir, "meta.json")
+                tmp = path + ".tmp"
+                with open(tmp, "w") as fh:
                     json.dump(extra, fh)
+                os.replace(tmp, path)
 
     def load_meta(self) -> Optional[Dict[str, Any]]:
         """The ``extra`` dict stored with the last checkpoint, if any
-        (absent for checkpoints written before epoch persistence)."""
+        (absent for checkpoints written before epoch persistence; None too
+        for an unreadable/corrupt file — resume then falls back to the
+        step-derived epoch)."""
         path = os.path.join(self._last_dir, "meta.json")
         if not os.path.exists(path):
             return None
-        with open(path) as fh:
-            return json.load(fh)
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, ValueError, OSError):
+            return None
 
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()

@@ -268,11 +268,17 @@ class Trainer:
                     channels=int(self.config.get("model", {}).get("adjust_channels", 256)),
                     towernum=int(self.config.get("model", {}).get("towernum", 2)),
                 )
-            except Exception:
+            except Exception as first_err:
                 # arch-parameterized importers (.mlmodel/.ckpt) must parse the
                 # SOURCE's structure; when the target arch differs, retry with
                 # the source's natural FEAR-XS shape and let the transfer step
-                # reconcile
+                # reconcile. Log the first error: if the retry also fails (or
+                # silently half-loads), the real cause must not be swallowed.
+                logger.warning(
+                    "load_variables(%r) with target arch params failed (%s: %s); "
+                    "retrying with the source's natural FEAR-XS shape",
+                    pretrained, type(first_err).__name__, first_err,
+                )
                 loaded = load_variables(pretrained)
             # non-strict by-path/shape transfer (ref: utils/torch.py:21-24
             # strict=False -> transfer_weights): exact matches copy verbatim

@@ -186,8 +186,13 @@ def test_allgather_rows_single_process_passthrough():
     from feartracker_tpu.parallel.multihost import allgather_rows
 
     rows = np.array([[0.0, 0.5, 0.1], [1.0, 0.7, 0.0]])
-    np.testing.assert_array_equal(allgather_rows(rows), rows)
+    out = allgather_rows(rows)
+    # values ride the collective as float32 by contract (config-independent)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, rows.astype(np.float32))
     assert allgather_rows(np.zeros((0, 3))).shape[0] == 0
+    with np.testing.assert_raises(ValueError):
+        allgather_rows(np.zeros(3))
 
 
 def test_distributed_initialize_is_idempotent(monkeypatch):
