@@ -95,8 +95,12 @@ class ScanTracker:
         self.update_threshold = update_threshold
         self.update_rate = update_rate
         # "ema": dyn <- (1-r)·dyn + r·candidate; "gated": paper-style learned
-        # interpolation of the STATIC template with the candidate, using the
-        # trained sigmoid(template_gate) (models/fear_net.forward_dual)
+        # interpolation of the STATIC template with the candidate, weighted
+        # by sigmoid(template_gate) FROM THE LOADED WEIGHTS
+        # (models/fear_net.forward_dual). NOTE: recovered FEAR-XS checkpoints
+        # zero-fill template_gate (convert/fear_weights.py) — with those, the
+        # "gated" blend is the untrained sigmoid(0)=0.5; a trained gate comes
+        # from tools/train_template_gate.py (fear_xs_gate.npz)
         if update_mode not in ("ema", "gated"):
             raise ValueError(f"update_mode must be 'ema' or 'gated', got {update_mode!r}")
         self.update_mode = update_mode

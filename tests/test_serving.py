@@ -260,3 +260,156 @@ def test_pool_on_sharded_tracker_matches_single_device(tracker):
         outs = [pool.step(np.broadcast_to(f, (8, *HW, 3))) for f in frames[1:]]
         pools[name] = np.stack([np.asarray(o["bbox"][:2]) for o in outs])
     np.testing.assert_allclose(pools["sharded"], pools["single"], atol=1e-3)
+
+
+# -- soak: randomized slot churn (VERDICT r3 #6) ----------------------------
+
+
+def _churn_schedule(rng, capacity, steps):
+    """Precomputed randomized add/remove schedule + per-slot frames, so the
+    serial and pipelined runs replay EXACTLY the same events."""
+    events = []
+    for t in range(steps):
+        events.append({
+            "add": rng.rand() < 0.3,
+            "add_bbox": [
+                float(rng.randint(10, 60)), float(rng.randint(10, 50)),
+                float(rng.randint(15, 40)), float(rng.randint(15, 40)),
+            ],
+            "remove_draw": rng.rand(),
+            "remove_pick": int(rng.randint(1 << 30)),
+            "frames": rng.randint(0, 255, (capacity, *HW, 3)).astype(np.float32),
+        })
+    return events
+
+
+def _run_churn(tracker, events, capacity, pipeline_depth=0, dedicated=None):
+    """Replay a churn schedule through a pool. With ``dedicated`` (a dict),
+    every live slot is mirrored by its own 1-stream state on the same
+    tracker; per-step active-slot bboxes are asserted equal — any template/
+    bbox leakage across slot reuse breaks the mirror. With
+    ``pipeline_depth`` > 0 results are drained that many steps late."""
+    pool = StreamPool(tracker, capacity=capacity, frame_hw=HW)
+    next_id = 0
+    slot_owner = {}  # slot -> stream id
+    results = []
+    inflight = []
+
+    def drain_one():
+        out, active_owner = inflight.pop(0)
+        res = out.result()
+        results.append(res["bbox"].copy())
+        if dedicated is not None:
+            for slot, sid in active_owner.items():
+                st, ded_out = tracker.step(dedicated[sid]["state"], dedicated[sid]["frame"][None])
+                dedicated[sid]["state"] = st
+                np.testing.assert_allclose(
+                    res["bbox"][slot], np.asarray(ded_out["bbox"])[0], atol=1e-3,
+                    err_msg=f"slot {slot} (stream {sid}) diverged from its dedicated mirror",
+                )
+
+    for ev in events:
+        if ev["add"] and pool._free:
+            claim = pool._free[0]  # slot add() will pop; its frame seeds the template
+            slot = pool.add(ev["frames"][claim], ev["add_bbox"])
+            assert slot == claim
+            slot_owner[slot] = next_id
+            if dedicated is not None:
+                dedicated[next_id] = {
+                    "state": tracker.init(
+                        ev["frames"][slot][None], np.asarray([ev["add_bbox"]], np.float32)
+                    ),
+                    "frame": None,
+                }
+            next_id += 1
+        if ev["remove_draw"] < 0.15 and pool.num_active > 0:
+            active_slots = sorted(s for s in slot_owner if pool.active[s])
+            victim = active_slots[ev["remove_pick"] % len(active_slots)]
+            pool.remove(victim)
+            sid = slot_owner.pop(victim)
+            if dedicated is not None:
+                dedicated.pop(sid)
+
+        # bookkeeping invariants hold at every step
+        assert pool.num_active + len(pool._free) == capacity
+        assert not (set(np.nonzero(pool.active)[0]) & set(pool._free))
+
+        if dedicated is not None:
+            for slot, sid in slot_owner.items():
+                dedicated[sid]["frame"] = ev["frames"][slot]
+        handle = pool.step_async(ev["frames"])
+        inflight.append((handle, {s: i for s, i in slot_owner.items() if pool.active[s]}))
+        while len(inflight) > max(pipeline_depth, 0):
+            drain_one()
+    while inflight:
+        drain_one()
+    return results
+
+
+def test_soak_slot_churn_isolation(tracker):
+    """Hundreds of randomized add/remove/step events: per-slot trajectories
+    must stay identical to dedicated single-stream mirrors (no template/bbox
+    leakage when slots are reused), bookkeeping must never drift."""
+    rng = np.random.RandomState(11)
+    events = _churn_schedule(rng, capacity=4, steps=120)
+    _run_churn(tracker, events, capacity=4, dedicated={})
+
+
+def test_soak_pipelined_matches_serial(tracker):
+    """The same churn schedule drained serially and with 2 steps in flight
+    must produce identical outputs — the dispatch-time active-set snapshot
+    keeps late drains correct under churn."""
+    rng = np.random.RandomState(12)
+    events = _churn_schedule(rng, capacity=4, steps=80)
+    serial = _run_churn(tracker, events, capacity=4, pipeline_depth=0)
+    piped = _run_churn(tracker, events, capacity=4, pipeline_depth=2)
+    assert len(serial) == len(piped)
+    for a, b in zip(serial, piped):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_soak_dual_template_churn_isolation(tracker):
+    """Same churn soak with the dual-template update live (interval 1 — the
+    pacing-independent cadence): the per-slot DYNAMIC template must also stay
+    isolated across slot reuse."""
+    dual = ScanTracker(
+        tracker.model, tracker.variables, CFG,
+        dynamic_template=True, update_mode="ema",
+        update_threshold=-1.0,  # update every frame: maximal state churn
+        update_rate=0.3, update_interval=1,
+    )
+    rng = np.random.RandomState(13)
+    events = _churn_schedule(rng, capacity=3, steps=60)
+    _run_churn(dual, events, capacity=3, dedicated={})
+
+
+def test_soak_reinit_policy_churn(tracker):
+    """Long chunked run under failure_policy='reinit' with slot churn: the
+    pool must keep re-templating failing slots without state corruption, and
+    inactive slots must never be re-templated."""
+    rng = np.random.RandomState(14)
+    pool = StreamPool(tracker, capacity=3, frame_hw=HW, failure_policy="reinit")
+    pool.add(rng.randint(0, 255, (*HW, 3)).astype(np.float32), [40, 30, 30, 40])
+    pool.add(rng.randint(0, 255, (*HW, 3)).astype(np.float32), [10, 10, 25, 25])
+    reinits = 0
+    for it in range(50):
+        if it % 7 == 3 and pool.num_active > 1:
+            pool.remove(int(np.nonzero(pool.active)[0][-1]))
+        elif it % 7 == 5 and pool._free:
+            pool.add(rng.randint(0, 255, (*HW, 3)).astype(np.float32), [20, 20, 30, 30])
+        # blank chunks collapse confidence -> failures -> reinit path
+        chunk = np.zeros((2, 3, *HW, 3), np.float32)
+        before = np.asarray(pool.state.template_feats).copy()
+        out = pool.step_chunk(chunk)
+        after = np.asarray(pool.state.template_feats)
+        failed = out["failure"].any(0)
+        reinits += int((failed & pool.active).sum())
+        for slot in range(3):
+            if not pool.active[slot] and not failed[slot]:
+                np.testing.assert_array_equal(
+                    before[slot], after[slot],
+                    err_msg=f"inactive slot {slot} was re-templated",
+                )
+        assert np.isfinite(np.asarray(pool.state.bbox)).all()
+        assert pool.num_active + len(pool._free) == 3
+    assert reinits > 0, "soak never exercised the reinit path"
