@@ -1,0 +1,84 @@
+"""Quality-regression gate (VERDICT r3 #5): minimum AO with the recovered
+FEAR-XS weights on a deterministic mini synthetic suite, on BOTH evaluation
+paths (sequential full-resolution and batched letterboxed). Parity goldens
+elsewhere pin exact trajectories for fixed inputs; these tests instead pin a
+quality FLOOR, so refactors that change numerics legitimately (new kernels,
+fusion, dtype moves) still cannot silently degrade tracking.
+
+The suite is generated in-process from a fixed seed (tools/make_synthetic_
+dataset is deterministic given the seed), i.e. the fixture is reproducible
+from committed code alone. Thresholds are locked ~0.05 below the measured
+values (sequential 0.843, batched letterboxed 0.832, 2026-08-17 CPU) —
+loose enough for cross-backend numeric drift, tight enough that any real
+regression (crop geometry, decode, template handling) trips them.
+"""
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.make_synthetic_dataset import generate  # noqa: E402
+
+from feartracker_tpu.data.sequence import GOT10kDataset  # noqa: E402
+from feartracker_tpu.evaluate.batched_eval import batched_evaluate  # noqa: E402
+from feartracker_tpu.evaluate.got10k_eval import evaluate_tracker  # noqa: E402
+from feartracker_tpu.evaluate.harness import build_scan_tracker  # noqa: E402
+
+# mini suite: 3×12-frame drift sequences at the generator's native 160×224
+SEED, FRAMES, SEQS = 3, 12, 3
+# a canvas SMALLER than the sequences, so the batched path really exercises
+# the reduced-resolution letterbox branch it uses on oversized real videos
+SMALL_CANVAS = (120, 168)
+
+
+@pytest.fixture(scope="module")
+def suite():
+    root = tempfile.mkdtemp(prefix="quality_gate_")
+    generate(root, tracks=1, frames=FRAMES, val_sequences=SEQS, seed=SEED,
+             scenario="drift", appearance_drift=0.5)
+    return GOT10kDataset(os.path.join(root, "got10k"), subset="val")
+
+
+@pytest.fixture(scope="module")
+def scan_tracker():
+    tracker, provenance = build_scan_tracker()
+    if provenance != "fear_xs":
+        pytest.skip("recovered FEAR-XS weights unavailable")
+    return tracker
+
+
+def test_quality_gate_sequential(suite, scan_tracker):
+    """Reference-protocol per-frame tracking at full resolution."""
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    tracker = FEARTracker(scan_tracker.model, scan_tracker.variables)
+    res = evaluate_tracker(tracker, suite)
+    assert res["ao"] >= 0.78, f"sequential AO regressed: {res['ao']:.4f}"
+
+
+def test_quality_gate_batched_letterboxed(suite, scan_tracker):
+    """Production batched scan path, letterboxed below sequence resolution."""
+    res = batched_evaluate(scan_tracker, suite, streams=SEQS, frame_hw=SMALL_CANVAS)
+    assert res["ao"] >= 0.78, f"batched letterboxed AO regressed: {res['ao']:.4f}"
+
+
+def test_letterbox_penalty_bounded(scan_tracker):
+    """Paired 2× resolution experiment (tools/letterbox_penalty.py protocol,
+    shrunk): the same scene rendered at 2× the canvas, scored through a
+    fitting canvas vs the letterboxed (half-resolution) one. Bounds the
+    quality skew the letterbox path can feed into in-training validation
+    (train/loop.py val_batched ranks checkpoints with it)."""
+    root = tempfile.mkdtemp(prefix="letterbox_bound_")
+    big = (2 * SMALL_CANVAS[0], 2 * SMALL_CANVAS[1])
+    generate(root, tracks=1, frames=10, val_sequences=2, seed=7,
+             size=big, obj_scale=2.0, scenario="drift", appearance_drift=0.5)
+    ds = GOT10kDataset(os.path.join(root, "got10k"), subset="val")
+    fit = batched_evaluate(scan_tracker, ds, streams=2, frame_hw=big)
+    lb = batched_evaluate(scan_tracker, ds, streams=2, frame_hw=SMALL_CANVAS)
+    assert lb["ao"] >= fit["ao"] - 0.06, (
+        f"letterbox penalty exceeded bound: fit={fit['ao']:.4f} lb={lb['ao']:.4f}"
+    )

@@ -23,11 +23,17 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _textured_background(rng, size):
+def _textured_background(rng, size, obj_scale=1.0):
+    """Texture drawn on the LOGICAL (1×) grid so the rng draw count — and
+    hence the whole downstream random stream — is independent of resolution:
+    (size·k, obj_scale=k) renders the same scene k× larger."""
     h, w = size
-    base = rng.randint(30, 120, (h // 8, w // 8, 3)).astype(np.uint8)
+    h0, w0 = int(round(h / obj_scale)), int(round(w / obj_scale))
+    base = rng.randint(30, 120, (h0 // 8, w0 // 8, 3)).astype(np.uint8)
     bg = cv2.resize(base, (w, h), interpolation=cv2.INTER_LINEAR)
-    noise = rng.randint(-12, 13, (h, w, 3))
+    noise = rng.randint(-12, 13, (h0, w0, 3))
+    if (h0, w0) != (h, w):
+        noise = cv2.resize(noise.astype(np.int16), (w, h), interpolation=cv2.INTER_NEAREST)
     return np.clip(bg.astype(int) + noise, 0, 255).astype(np.uint8)
 
 
@@ -67,7 +73,7 @@ def _draw_object(img, rng, cx, cy, w, h, color, kind, angle=0.0):
 
 
 def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractors=2,
-                   appearance_drift=0.0, scenario="drift"):
+                   appearance_drift=0.0, scenario="drift", obj_scale=1.0):
     """``appearance_drift`` ∈ [0, 1]: the object's color linearly morphs to a
     second random color over the track (0 = static appearance + small jitter
     only).
@@ -88,18 +94,25 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
       distractor crosses the target's path at mid-track, drawn ON TOP (it
       momentarily occludes the target) and continues — the classic identity
       -swap trap.
+
+    ``obj_scale`` multiplies every absolute-pixel quantity (object/distractor
+    sizes, velocities, occluder sweep) AFTER the rng draws, so
+    ``size=(2h, 2w), obj_scale=2`` renders the geometrically identical scene
+    at 2× resolution with an unchanged random stream — the letterbox-penalty
+    experiment (tools/letterbox_penalty.py).
     """
     h, w = size
-    bg = _textured_background(rng, size)
+    bg = _textured_background(rng, size, obj_scale=obj_scale)
     color = tuple(int(c) for c in rng.randint(120, 255, 3))
     color2 = tuple(int(c) for c in rng.randint(60, 255, 3))
     kind = int(rng.randint(3))
     cx, cy = rng.uniform(0.3 * w, 0.7 * w), rng.uniform(0.3 * h, 0.7 * h)
-    ow, oh = rng.uniform(24, 48), rng.uniform(24, 48)
-    vx, vy = rng.uniform(-4, 4), rng.uniform(-3, 3)
+    ow, oh = rng.uniform(24, 48) * obj_scale, rng.uniform(24, 48) * obj_scale
+    vx, vy = rng.uniform(-4, 4) * obj_scale, rng.uniform(-3, 3) * obj_scale
     dis = [
         (tuple(int(c) for c in rng.randint(60, 255, 3)), int(rng.randint(3)),
-         rng.uniform(0, w), rng.uniform(0, h), rng.uniform(12, 36), rng.uniform(-3, 3), rng.uniform(-3, 3))
+         rng.uniform(0, w), rng.uniform(0, h), rng.uniform(12, 36) * obj_scale,
+         rng.uniform(-3, 3) * obj_scale, rng.uniform(-3, 3) * obj_scale)
         for _ in range(distractors)
     ]
     # occluder bars: (width, color, crossing frame) — they sweep left→right
@@ -136,8 +149,8 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
             # same-appearance distractor crossing the target at mid-track,
             # drawn on top: starts offset, meets the object at n/2, moves on
             mid = n_frames / 2.0
-            sx = cxf + (f - mid) * 5.0
-            sy = cyf + (f - mid) * 1.5
+            sx = cxf + (f - mid) * 5.0 * obj_scale
+            sy = cyf + (f - mid) * 1.5 * obj_scale
             if 0 <= sx < w and 0 <= sy < h:
                 _draw_object(img, rng, sx, sy, ow * scale, oh * scale, jitter, kind)
         if scenario == "occlusion":
@@ -145,7 +158,7 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
                 bar_w = int(ow * bw_scale)
                 # bar sweeps at 6 px/frame; positioned to cover the object
                 # center exactly at f_cross
-                bx = int(cxf + (f - f_cross) * 6.0)
+                bx = int(cxf + (f - f_cross) * 6.0 * obj_scale)
                 if -bar_w < bx < w + bar_w:
                     cv2.rectangle(img, (bx - bar_w // 2, 0), (bx + bar_w // 2, h), ocolor, -1)
         path = f"{track_id}_f{f:04d}.jpg"
@@ -162,14 +175,15 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
 
 
 def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224),
-             appearance_drift=0.0, scenario="drift"):
+             appearance_drift=0.0, scenario="drift", obj_scale=1.0):
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
     rows = []
     for t in range(tracks):
         rows += generate_track(rng, img_dir, f"track{t:04d}", frames, size=size,
-                               appearance_drift=appearance_drift, scenario=scenario)
+                               appearance_drift=appearance_drift, scenario=scenario,
+                               obj_scale=obj_scale)
     df = pd.DataFrame(rows)
     df["img_path"] = "images/" + df["img_path"]
     csv_path = os.path.join(root, "train.csv")
@@ -184,7 +198,8 @@ def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224
         seq_dir = os.path.join(val_base, seq)
         os.makedirs(seq_dir, exist_ok=True)
         vrows = generate_track(rng, seq_dir, seq, frames, size=size,
-                               appearance_drift=appearance_drift, scenario=scenario)
+                               appearance_drift=appearance_drift, scenario=scenario,
+                               obj_scale=obj_scale)
         gt = []
         for i, r in enumerate(vrows):
             src = os.path.join(seq_dir, r["img_path"])
@@ -213,10 +228,13 @@ def main():
                    help="structural-appearance-change regime (see generate_track)")
     p.add_argument("--height", type=int, default=160)
     p.add_argument("--width", type=int, default=224)
+    p.add_argument("--obj_scale", type=float, default=1.0,
+                   help="multiply object sizes/velocities (pair with size·k "
+                   "for a k× resolution render of the same scene)")
     args = p.parse_args()
     csv_path = generate(args.root, args.tracks, args.frames, args.val_sequences, args.seed,
                     size=(args.height, args.width), appearance_drift=args.appearance_drift,
-                    scenario=args.scenario)
+                    scenario=args.scenario, obj_scale=args.obj_scale)
     print(f"wrote {csv_path} + val sequences under {args.root}/got10k/val")
 
 
