@@ -92,6 +92,56 @@ def load_exported(path: str):
     return lambda *args: exported.call(*args)
 
 
+class ExportedTracker:
+    """Reference-API (initialize/update) tracker driven ENTIRELY by the
+    serialized deployment pair — the quality-evaluation harness for the
+    artifact that actually ships, mirroring how the reference's deployed
+    tracker consumes its FP16 CoreML pair (ref: VOTracker.swift:44-55,
+    coreml_utils.py:54-58). Host-side crop geometry and postprocess are the
+    production FEARTracker ones; only the network forwards come from the
+    exported StableHLO graphs (normalization is baked into those)."""
+
+    def __init__(self, init_path: str, track_path: str, config=None):
+        from feartracker_tpu.tracker.config import TrackerConfig
+        from feartracker_tpu.tracker.tracker import FEARTracker
+
+        self._impl = FEARTracker.__new__(FEARTracker)
+        t = self._impl
+        t.config = config or TrackerConfig()
+        t.native_preprocess = False
+        t.model = t.variables = None
+        t.bbox = t.mean_color = t.prev_size = None
+        t._template_features = None
+        from collections import deque
+
+        t.paths = deque(maxlen=10)
+
+        from feartracker_tpu.core import postprocess as pp
+
+        init_g = load_exported(init_path)
+        track_g = load_exported(track_path)
+
+        def _features(crop_u8):
+            return init_g(jnp.asarray(crop_u8, jnp.float32)[None])
+
+        def _step(crop_u8, feats, prev_size):
+            reg, cls = track_g(jnp.asarray(crop_u8, jnp.float32)[None], feats)
+            res = pp.postprocess(cls, reg, t.config.postprocess, prev_size=prev_size[None])
+            return res.bbox[0], res.confidence[0]
+
+        t._features_fn = _features
+        t._step_fn = _step
+
+    def initialize(self, image, rect):
+        return self._impl.initialize(image, rect)
+
+    def update(self, image):
+        return self._impl.update(image)
+
+    def reset(self):
+        return self._impl.reset()
+
+
 def main() -> None:
     """CLI entry — the analog of ``python evaluate/coreml_convert.py``
     (ref: coreml_convert.py:60-70 loads config+checkpoint and writes the
