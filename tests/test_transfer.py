@@ -192,3 +192,70 @@ def test_trainer_rejects_incompatible_source(tmp_path):
     tr = Trainer(_tiny_trainer_config(bogus))
     with pytest.raises(ValueError, match="no weights transferred"):
         tr.setup_state()
+
+
+def test_pretrain_trunk_handoff_full_fear_xs(tmp_path):
+    """The npz → pretrained_weights handoff at FULL FEAR-XS geometry
+    (VERDICT r3 #2): classification-pretrain the fear_xs trunk (1 epoch,
+    tiny ImageFolder), then warm-start the full 256²/128² tracker — every
+    encoder leaf (params + batch_stats) must transfer with zero shape
+    mismatches, and the Trainer path must land the exact arrays."""
+    import os
+    import sys
+
+    import cv2
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.pretrain_trunk import train as pretrain
+
+    rng = np.random.RandomState(1)
+    for cls, color in (("red", (0, 0, 220)), ("green", (0, 220, 0))):
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(8):
+            img = np.full((48, 48, 3), 30, np.uint8)
+            x, y = rng.randint(8, 24, 2)
+            cv2.rectangle(img, (x, y), (x + 16, y + 16), color, -1)
+            cv2.imwrite(str(d / f"{i}.jpg"), img)
+
+    out = str(tmp_path / "xs_trunk.npz")
+    res = pretrain(str(tmp_path / "data"), "fear_xs", out,
+                   epochs=1, batch_size=8, image_size=32, log_every=100)
+    assert res["arrays"] > 0
+
+    from flax.traverse_util import flatten_dict
+
+    from feartracker_tpu.convert.load import load_npz_variables, transfer_variables
+    from feartracker_tpu.train.loop import Trainer
+
+    full_cfg = _tiny_trainer_config(out)
+    full_cfg["model"] = {"name": "fear_xs", "adjust_channels": 256,
+                         "towernum": 2, "pretrained_weights": out}
+    full_cfg["tracker"] = {
+        "score_size": 16, "total_stride": 16, "instance_size": 256,
+        "template_size": 128, "penalty_k": 0.062, "window_influence": 0.38,
+        "lr": 0.765, "template_bbox_offset": 0.2, "search_context": 2,
+    }
+    tr = Trainer(full_cfg)
+    tr.setup_state()
+    target = {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
+    loaded = load_npz_variables(out)
+    merged, report = transfer_variables(loaded, target)
+    assert not report["skipped_shape"], report["skipped_shape"]
+    assert not report["unused"], report["unused"]
+    n_encoder_target = len([
+        k for part in ("params", "batch_stats")
+        for k in ("/".join(p) for p in flatten_dict(target[part]))
+        if k.startswith("encoder/")
+    ])
+    assert len(report["transferred"]) == n_encoder_target == res["arrays"]
+
+    # Trainer landed the exact pretrained arrays in the full-geometry state
+    got = {"/".join(k): np.asarray(v) for k, v in flatten_dict(tr.state.params).items()}
+    src = {"/".join(k): v for k, v in flatten_dict(loaded).items()}
+    np.testing.assert_array_equal(
+        got["encoder/stem/conv/kernel"], src["params/encoder/stem/conv/kernel"]
+    )
+    np.testing.assert_array_equal(
+        got["encoder/block10/dw/conv/kernel"], src["params/encoder/block10/dw/conv/kernel"]
+    )
