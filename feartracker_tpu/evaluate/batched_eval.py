@@ -10,8 +10,14 @@ before scoring.
 
 Letterboxing note: scoring happens in original frame coordinates, but the
 tracker sees (canonical-resolution) letterboxed frames — sequences larger
-than the canvas are evaluated at reduced resolution (AO typically within a
-point of the sequential full-resolution path).
+than the canvas are evaluated at reduced resolution. MEASURED
+(tools/letterbox_penalty.py, paired 2×-resolution scenes, 3 seeds, real
+TPU): the reduced-resolution path is NOT a penalty on this model — ΔAO
++0.020 (drift) / +0.039 (pose) vs a fitting canvas, 95% CIs crossing zero;
+and the batched runtime itself matches the sequential full-resolution
+protocol within ±0.0005 AO. Bound-tested in
+tests/test_quality_gate.py::test_letterbox_penalty_bounded; see
+BENCHMARKS.md "Letterbox resolution penalty".
 """
 
 from __future__ import annotations
