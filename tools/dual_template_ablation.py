@@ -72,7 +72,9 @@ def main():
     ap.add_argument("--intervals", default="4")
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--sequences", type=int, default=8)
-    ap.add_argument("--update_threshold", type=float, default=0.85)
+    ap.add_argument("--update_threshold", default="0.85",
+                    help="confidence gate threshold; comma list sweeps it "
+                    "(each value is a separate compiled tracker)")
     ap.add_argument("--update_rate", type=float, default=0.2)
     ap.add_argument("--seeds", default="7",
                     help="comma list of dataset generator seeds (pooled stats)")
@@ -110,41 +112,46 @@ def main():
 
     # 2. modes outer, datasets inner: one tracker (= one set of compiled scan
     # graphs) serves every dataset
+    thresholds = [float(t) for t in str(args.update_threshold).split(",")]
     rows = []
     for mode in modes:
         for interval in intervals if mode != "static" else [0]:
-            kw = {}
-            if mode != "static":
-                kw = dict(
-                    dynamic_template=True,
-                    update_mode="gated" if mode.startswith("gated") else mode,
-                    update_threshold=args.update_threshold,
-                    update_rate=args.update_rate,
-                    update_interval=max(interval, 1),
-                )
-            if mode == "gated_trained":
-                tracker, prov = build_scan_tracker(weights_path=args.gate_npz, **kw)
-                prov = f"{prov}+trained_gate"
-            else:
-                tracker, prov = build_scan_tracker(**kw)
-            gate_val = None
-            if mode.startswith("gated"):
-                import jax
+            for thr in thresholds if mode != "static" else [thresholds[0]]:
+                kw = {}
+                if mode != "static":
+                    kw = dict(
+                        dynamic_template=True,
+                        update_mode="gated" if mode.startswith("gated") else mode,
+                        update_threshold=thr,
+                        update_rate=args.update_rate,
+                        update_interval=max(interval, 1),
+                    )
+                if mode == "gated_trained":
+                    tracker, prov = build_scan_tracker(weights_path=args.gate_npz, **kw)
+                    prov = f"{prov}+trained_gate"
+                else:
+                    tracker, prov = build_scan_tracker(**kw)
+                gate_val = None
+                if mode.startswith("gated"):
+                    import jax
 
-                gate_val = round(float(jax.nn.sigmoid(
-                    np.asarray(tracker.variables["params"]["template_gate"])[0])), 4)
-            label = "gated_0.5" if mode == "gated" else mode
-            for (scenario, seed), ds in datasets.items():
-                res = batched_evaluate(tracker, ds, streams=args.sequences)
-                row = {
-                    "scenario": scenario, "mode": label, "seed": seed,
-                    "interval": interval, "weights": prov,
-                    "gate": gate_val,
-                    "ao": round(res["ao"], 4), "sr50": round(res["sr50"], 4),
-                    "sr75": round(res["sr75"], 4),
-                }
-                rows.append(row)
-                print(json.dumps(row), flush=True)
+                    gate_val = round(float(jax.nn.sigmoid(
+                        np.asarray(tracker.variables["params"]["template_gate"])[0])), 4)
+                label = "gated_0.5" if mode == "gated" else mode
+                if len(thresholds) > 1 and mode != "static":
+                    label = f"{label}_t{thr:g}"
+                for (scenario, seed), ds in datasets.items():
+                    res = batched_evaluate(tracker, ds, streams=args.sequences)
+                    row = {
+                        "scenario": scenario, "mode": label, "seed": seed,
+                        "interval": interval, "threshold": None if mode == "static" else thr,
+                        "weights": prov,
+                        "gate": gate_val,
+                        "ao": round(res["ao"], 4), "sr50": round(res["sr50"], 4),
+                        "sr75": round(res["sr75"], 4),
+                    }
+                    rows.append(row)
+                    print(json.dumps(row), flush=True)
 
     # 3. pooled per-seed deltas vs static, mean ± 95% CI
     static = {
