@@ -96,10 +96,12 @@ def main():
     out_dir = args.export_dir or tempfile.mkdtemp(prefix="export_quality_")
     if not os.path.isfile(os.path.join(out_dir, "tracker_quantized.stablehlo")):
         export_tracker(model, variables, out_dir)
-    pair = lambda sfx: ExportedTracker(
-        os.path.join(out_dir, f"tracker_init{sfx}.stablehlo"),
-        os.path.join(out_dir, f"tracker{sfx}.stablehlo"),
-    )
+    def pair(sfx):
+        return ExportedTracker(
+            os.path.join(out_dir, f"tracker_init{sfx}.stablehlo"),
+            os.path.join(out_dir, f"tracker{sfx}.stablehlo"),
+        )
+
     fp32, quant = pair(""), pair("_quantized")
 
     # 1. trajectory divergence on the demo video
