@@ -82,3 +82,19 @@ def test_letterbox_penalty_bounded(scan_tracker):
     assert lb["ao"] >= fit["ao"] - 0.06, (
         f"letterbox penalty exceeded bound: fit={fit['ao']:.4f} lb={lb['ao']:.4f}"
     )
+
+
+def test_quality_gate_dual_template(suite, scan_tracker):
+    """The dual-template path has its own quality floor: EMA@4 (the
+    recommended appearance-morph configuration) on the same mini suite may
+    not fall below the static floor band. Measured 0.83 (2026-08-17 CPU)."""
+    from feartracker_tpu.tracker.runtime import ScanTracker
+
+    dual = ScanTracker(
+        scan_tracker.model, scan_tracker.variables, scan_tracker.config,
+        dtype=scan_tracker.dtype, postprocess_impl=scan_tracker.postprocess_impl,
+        dynamic_template=True, update_mode="ema", update_threshold=0.85,
+        update_rate=0.2, update_interval=4,
+    )
+    res = batched_evaluate(dual, suite, streams=SEQS, frame_hw=SMALL_CANVAS)
+    assert res["ao"] >= 0.76, f"dual-template AO regressed: {res['ao']:.4f}"
