@@ -111,6 +111,28 @@ def smooth_size(
     return kept + lr * (scaled + kept)
 
 
+def apce(score: jnp.ndarray) -> jnp.ndarray:
+    """Average peak-to-correlation energy (LMCF, CVPR'17) of a score map:
+    ``(max−min)² / mean((v−min)²)`` — whole-map peak sharpness, high for a
+    single sharp mode, low for flat/multimodal responses.
+
+    Emitted per frame by the scan runtime as a DIAGNOSTIC observable.
+    Measured on the structural synthetic suite
+    (tools/occlusion_signal_probe.py, BENCHMARKS.md): NOT a usable
+    dual-template update gate — occluder absorptions show *higher* APCE than
+    good updates (a high-contrast occluder yields a sharper peak).
+
+    Args:
+      score: (B, H, W) score map (e.g. sigmoid classification scores).
+    Returns:
+      (B,) float32.
+    """
+    smin = jnp.min(score, axis=(1, 2))
+    smax = jnp.max(score, axis=(1, 2))
+    energy = jnp.mean((score - smin[:, None, None]) ** 2, axis=(1, 2))
+    return (smax - smin) ** 2 / (energy + 1e-12)
+
+
 class PostprocessResult(NamedTuple):
     bbox: jnp.ndarray  # (B, 4) xywh in search-crop pixels
     confidence: jnp.ndarray  # (B,) raw sigmoid cls score at the chosen cell

@@ -225,6 +225,14 @@ class ScanTracker:
         bbox = rescale_crop_bbox(res.bbox, windows, cfg.instance_size)
         bbox = clamp_bbox(bbox, (H, W))
 
+        # per-frame map-sharpness diagnostic (not an update gate — see
+        # pp.apce docstring for the measured negative); cheap (S×256
+        # elementwise) next to the 1.3 GFLOP forward
+        score = jax.nn.sigmoid(
+            out[TARGET_CLASSIFICATION_KEY].astype(jnp.float32)
+        )[..., 0]
+        apce = pp.apce(score)
+
         dyn = state.dyn_feats
         if self.dynamic_template:
 
@@ -255,6 +263,7 @@ class ScanTracker:
         outputs = {
             "bbox": bbox,
             "confidence": res.confidence,
+            "apce": apce,
             "failure": res.confidence < cfg.confidence_threshold,
         }
         return new_state, outputs

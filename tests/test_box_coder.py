@@ -149,3 +149,22 @@ def test_postprocess_smooth_jits():
     res = fn(logits, reg, prev)
     assert res.bbox.shape == (1, 4)
     assert np.all(np.isfinite(np.asarray(res.bbox)))
+
+
+def test_apce_sharp_peak_beats_flat_and_bimodal():
+    # APCE is amplitude-invariant map *shape*: single sharp peak → high; a
+    # second equal mode halves it (energy doubles, peak unchanged); a
+    # structureless noise map → low (uniform noise ≈ 3, the range²/3 energy)
+    sharp = np.full((1, 16, 16), 0.1, np.float32)
+    sharp[0, 4, 5] = 0.9
+    bimodal = sharp.copy()
+    bimodal[0, 12, 11] = 0.9
+    noise = np.random.RandomState(0).rand(1, 16, 16).astype(np.float32)
+    a_sharp, a_bi, a_noise = (
+        float(pp.apce(jnp.asarray(m))[0]) for m in (sharp, bimodal, noise)
+    )
+    assert a_sharp > a_bi * 1.8
+    assert a_bi > a_noise
+    assert a_noise == pytest.approx(3.0, rel=0.35)
+    # closed form for one peak cell out of N: (d²)/(d²/N) = N
+    assert a_sharp == pytest.approx(256.0, rel=1e-4)

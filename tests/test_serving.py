@@ -413,3 +413,20 @@ def test_soak_reinit_policy_churn(tracker):
         assert np.isfinite(np.asarray(pool.state.bbox)).all()
         assert pool.num_active + len(pool._free) == 3
     assert reinits > 0, "soak never exercised the reinit path"
+
+
+def test_apce_output_matches_scoremap_shape(tracker):
+    """The runtime's per-frame APCE diagnostic: right shape, finite,
+    positive, and stacked over T by track()."""
+    rng = np.random.RandomState(9)
+    frames = np.stack([_frames(rng, 2) for _ in range(3)])
+    b0 = np.array([[40, 30, 30, 40], [20, 20, 30, 30]], np.float32)
+    st = tracker.init(frames[0], b0)
+    st, out = tracker.step(st, frames[0])
+    assert out["apce"].shape == (2,)
+    st, out = tracker.track(st, frames)
+    a = np.asarray(out["apce"])
+    assert a.shape == (3, 2)
+    assert np.all(np.isfinite(a)) and np.all(a > 0)
+    # bounded by the closed-form single-peak maximum N = H·W cells
+    assert np.all(a <= CFG.score_size ** 2 + 1e-3)
