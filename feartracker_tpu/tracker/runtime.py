@@ -75,6 +75,8 @@ class ScanTracker:
         postprocess_impl: str = "xla",
         trunk_impl: str = "xla",
         scan_unroll: int = 1,
+        recover_context: float = 0.0,
+        recover_threshold: float = None,
     ):
         # "mm" = separable-matmul crop (MXU, fast); "gather" = index-based
         # (bit-identical reference semantics; both match to float rounding)
@@ -119,6 +121,20 @@ class ScanTracker:
         if scan_unroll < 1:
             raise ValueError(f"scan_unroll must be >= 1, got {scan_unroll}")
         self.scan_unroll = int(scan_unroll)
+        # zoom-out re-acquisition: when the previous frame's confidence fell
+        # below recover_threshold, crop the NEXT search at recover_context
+        # instead of cfg.search_context (a wider source window, same 256²
+        # output — static shapes, fully in-graph). The reference's only
+        # failure answer is a host-side re-init (VOTracker.swift:84-86);
+        # this re-finds the target that slid out of the normal window, e.g.
+        # after an occlusion episode. 0.0 = disabled.
+        if recover_context < 0:
+            raise ValueError(f"recover_context must be >= 0, got {recover_context}")
+        self.recover_context = float(recover_context)
+        self.recover_threshold = (
+            config.confidence_threshold if recover_threshold is None
+            else float(recover_threshold)
+        )
         self.dtype = dtype
         self._folded = self._fold() if self.trunk_impl == "fused" else None
         # weights ride as jit arguments (device arrays), not baked constants;
@@ -190,7 +206,16 @@ class ScanTracker:
         cfg = self.config
         H, W = frames.shape[1], frames.shape[2]
 
-        windows = jax.vmap(extended_crop_window, (0, None))(state.bbox, cfg.search_context)
+        if self.recover_context:
+            # per-stream context: widen the window after a low-confidence
+            # frame (state.confidence is the previous step's peak)
+            ctx = jnp.where(
+                state.confidence < self.recover_threshold,
+                self.recover_context, cfg.search_context,
+            )
+            windows = jax.vmap(extended_crop_window)(state.bbox, ctx)
+        else:
+            windows = jax.vmap(extended_crop_window, (0, None))(state.bbox, cfg.search_context)
         crops = self._crop(frames, windows, cfg.instance_size, state.mean_color)
         x = normalize_imagenet(crops).astype(self.dtype)
 

@@ -430,3 +430,36 @@ def test_apce_output_matches_scoremap_shape(tracker):
     assert np.all(np.isfinite(a)) and np.all(a > 0)
     # bounded by the closed-form single-peak maximum N = H·W cells
     assert np.all(a <= CFG.score_size ** 2 + 1e-3)
+
+
+def test_recover_context_widens_window_after_low_confidence(tracker):
+    """Zoom-out re-acquisition: a sub-threshold previous confidence widens
+    the next search window for THAT stream only; confident streams and
+    disabled recovery are bit-identical to the baseline."""
+    rng = np.random.RandomState(11)
+    frame = _frames(rng)[0]
+    frames2 = np.broadcast_to(frame, (2, *HW, 3))
+    b0 = np.array([[40, 30, 30, 40], [40, 30, 30, 40]], np.float32)
+
+    rec = ScanTracker(tracker.model, tracker.variables, CFG,
+                      recover_context=4.0, recover_threshold=0.5)
+    st = tracker.init(frames2, b0)
+    st_low = st._replace(confidence=jnp.asarray([0.0, 1.0], jnp.float32))
+
+    _, base = tracker.step(st_low, frames2)
+    _, out = rec.step(st_low, frames2)
+    base_bbox, rec_bbox = np.asarray(base["bbox"]), np.asarray(out["bbox"])
+    # identical inputs -> baseline treats both streams the same
+    np.testing.assert_allclose(base_bbox[0], base_bbox[1], atol=1e-5)
+    # confident stream unchanged by the recovery feature
+    np.testing.assert_allclose(rec_bbox[1], base_bbox[1], atol=1e-5)
+    # low-confidence stream saw a wider window -> different prediction
+    assert not np.allclose(rec_bbox[0], base_bbox[0], atol=1e-3)
+
+    # recover_context=0 disables the branch entirely
+    off = ScanTracker(tracker.model, tracker.variables, CFG, recover_context=0.0)
+    _, out_off = off.step(st_low, frames2)
+    np.testing.assert_allclose(np.asarray(out_off["bbox"]), base_bbox, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        ScanTracker(tracker.model, tracker.variables, CFG, recover_context=-1.0)
