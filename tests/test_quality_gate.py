@@ -98,3 +98,29 @@ def test_quality_gate_dual_template(suite, scan_tracker):
     )
     res = batched_evaluate(dual, suite, streams=SEQS, frame_hw=SMALL_CANVAS)
     assert res["ao"] >= 0.76, f"dual-template AO regressed: {res['ao']:.4f}"
+
+
+def test_quality_gate_recovery(scan_tracker):
+    """Zoom-out re-acquisition (recover_context=3) must keep beating the
+    static baseline on occlusion content — the one regime where every
+    template-update gate measured negative. Mini occlusion suite measured
+    2026-08-17 CPU: baseline 0.175, recovery 0.275 (the full 5-seed TPU
+    result is +0.195 ± 0.095 AO; BENCHMARKS.md "Zoom-out re-acquisition")."""
+    from feartracker_tpu.tracker.runtime import ScanTracker
+
+    root = tempfile.mkdtemp(prefix="recovery_gate_")
+    generate(root, tracks=1, frames=24, val_sequences=4, seed=5,
+             scenario="occlusion")
+    ds = GOT10kDataset(os.path.join(root, "got10k"), subset="val")
+    rec = ScanTracker(
+        scan_tracker.model, scan_tracker.variables, scan_tracker.config,
+        dtype=scan_tracker.dtype, postprocess_impl=scan_tracker.postprocess_impl,
+        recover_context=3.0, recover_threshold=0.7,
+    )
+    base = batched_evaluate(scan_tracker, ds, streams=4)
+    recv = batched_evaluate(rec, ds, streams=4)
+    assert recv["ao"] >= base["ao"] + 0.04, (
+        f"recovery no longer beats baseline: base={base['ao']:.4f} "
+        f"recover={recv['ao']:.4f}"
+    )
+    assert recv["ao"] >= 0.22, f"recovery AO floor regressed: {recv['ao']:.4f}"
