@@ -23,7 +23,8 @@ from feartracker_tpu.convert.load import default_weights_path
 DEFAULT_WEIGHTS = default_weights_path()
 
 
-def get_tracker(weights_path: str, smooth: bool = False, platform: str = ""):
+def get_tracker(weights_path: str, smooth: bool = False, platform: str = "",
+                recover_context: float = 0.0):
     if platform:
         import jax
 
@@ -35,7 +36,8 @@ def get_tracker(weights_path: str, smooth: bool = False, platform: str = ""):
 
     model = FEARNet()
     variables = load_variables(weights_path)
-    return FEARTracker(model, variables, TrackerConfig(smooth=smooth))
+    return FEARTracker(model, variables, TrackerConfig(smooth=smooth),
+                       recover_context=recover_context)
 
 
 def track(tracker, frames, initial_bbox: np.ndarray) -> List[np.ndarray]:
@@ -48,7 +50,7 @@ def track(tracker, frames, initial_bbox: np.ndarray) -> List[np.ndarray]:
 
 
 def track_scan(weights_path, frames, initial_bbox, smooth=False, dynamic_template=False,
-               update_interval=1, chunk=32):
+               update_interval=1, chunk=32, recover_context=0.0):
     """Single video through the on-device scan runtime (S=1)."""
     from feartracker_tpu.convert.load import load_variables
     from feartracker_tpu.models.fear_net import FEARNet
@@ -60,6 +62,7 @@ def track_scan(weights_path, frames, initial_bbox, smooth=False, dynamic_templat
         model, load_variables(weights_path), TrackerConfig(smooth=smooth),
         dynamic_template=dynamic_template,
         update_interval=update_interval,
+        recover_context=recover_context,
     )
     state = tracker.init(frames[0][None], np.asarray(initial_bbox, np.float32)[None])
     tracked = [np.asarray(initial_bbox)]
@@ -83,6 +86,9 @@ def main() -> None:
     p.add_argument("--dynamic_template", action="store_true", help="dual-template update (scan runtime)")
     p.add_argument("--update_interval", type=int, default=1,
                    help="consider a template refresh every K-th frame (scan runtime)")
+    p.add_argument("--recover_context", type=float, default=0.0,
+                   help="zoom-out re-acquisition context after a low-confidence "
+                   "frame (0 = off; 3 recommended for occlusion-heavy content)")
     args = p.parse_args()
 
     if args.platform:
@@ -95,9 +101,11 @@ def main() -> None:
     if args.runtime == "scan":
         bboxes = track_scan(args.weights_path, frames, np.array(args.initial_bbox),
                             smooth=args.smooth, dynamic_template=args.dynamic_template,
-                            update_interval=args.update_interval)
+                            update_interval=args.update_interval,
+                            recover_context=args.recover_context)
     else:
-        tracker = get_tracker(args.weights_path, smooth=args.smooth)
+        tracker = get_tracker(args.weights_path, smooth=args.smooth,
+                              recover_context=args.recover_context)
         bboxes = track(tracker, frames, np.array(args.initial_bbox))
 
     os.makedirs(os.path.dirname(args.output_path) or ".", exist_ok=True)

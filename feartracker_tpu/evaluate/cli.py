@@ -116,6 +116,7 @@ def cmd_eval(args) -> None:
     kwargs = {"subset": args.subset} if args.dataset in ("got10k", "trackingnet") else {}
     dataset = cls(args.root, **kwargs)
     cfg = TrackerConfig(smooth=args.smooth)
+    rec = {"recover_context": args.recover_context}
     if args.batched and args.submit_dir:
         raise SystemExit("--submit_dir requires the sequential tracker; drop --batched")
     if args.supervised and (args.batched or args.submit_dir):
@@ -125,7 +126,7 @@ def cmd_eval(args) -> None:
         from feartracker_tpu.tracker.tracker import FEARTracker
 
         model, variables = _load(args)
-        tracker = FEARTracker(model, variables, cfg)
+        tracker = FEARTracker(model, variables, cfg, **rec)
         res = evaluate_vot(tracker, dataset, max_frames=args.max_frames, verbose=True)
     elif args.batched:
         import jax.numpy as jnp
@@ -134,7 +135,7 @@ def cmd_eval(args) -> None:
         from feartracker_tpu.tracker.runtime import ScanTracker
 
         model, variables = _load(args, dtype="bfloat16")
-        tracker = ScanTracker(model, variables, cfg, dtype=jnp.bfloat16)
+        tracker = ScanTracker(model, variables, cfg, dtype=jnp.bfloat16, **rec)
         res = batched_evaluate(
             tracker, dataset, streams=args.streams, max_frames=args.max_frames,
             max_sequences=args.max_sequences, verbose=True,
@@ -150,7 +151,7 @@ def cmd_eval(args) -> None:
         if args.dataset not in writers:
             raise SystemExit(f"--submit_dir supports {sorted(writers)}, not {args.dataset!r}")
         model, variables = _load(args)
-        tracker = FEARTracker(model, variables, cfg)
+        tracker = FEARTracker(model, variables, cfg, **rec)
         out = writers[args.dataset](
             tracker, dataset, args.submit_dir, max_frames=args.max_frames, verbose=True
         )
@@ -160,7 +161,7 @@ def cmd_eval(args) -> None:
         from feartracker_tpu.tracker.tracker import FEARTracker
 
         model, variables = _load(args)
-        tracker = FEARTracker(model, variables, cfg)
+        tracker = FEARTracker(model, variables, cfg, **rec)
         res = evaluate_tracker(
             tracker, dataset, max_frames=args.max_frames,
             max_sequences=args.max_sequences, verbose=True,
@@ -246,6 +247,10 @@ def main() -> None:
         gp.add_argument("--supervised", action="store_true",
                         help="VOT supervised protocol (re-init on failure): accuracy/robustness/EAO")
         gp.add_argument("--streams", type=int, default=64)
+        gp.add_argument("--recover_context", type=float, default=0.0,
+                        help="zoom-out re-acquisition context after a "
+                        "low-confidence frame (0 = off; 3 recommended for "
+                        "occlusion-heavy content, BENCHMARKS.md)")
         gp.add_argument("--submit_dir", default=None, help="write eval-server submission files here")
         gp.add_argument("--report", default=None,
                         help="also write the full result (incl. per-sequence) as JSON here")

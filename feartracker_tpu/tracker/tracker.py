@@ -52,10 +52,25 @@ class FEARTracker:
         variables: Dict[str, Any],
         config: TrackerConfig = TrackerConfig(),
         native_preprocess: bool = False,
+        recover_context: float = 0.0,
+        recover_threshold: float = None,
     ):
         self.model = model
         self.variables = variables
         self.config = config
+        # zoom-out re-acquisition (host twin of ScanTracker's recover_context,
+        # measured +0.195 AO on occlusion content — BENCHMARKS.md): after a
+        # frame scoring below recover_threshold, crop the next search at the
+        # wider context. 0.0 = disabled. The crop happens host-side, so no
+        # recompile is involved.
+        if recover_context < 0:
+            raise ValueError(f"recover_context must be >= 0, got {recover_context}")
+        self.recover_context = float(recover_context)
+        self.recover_threshold = (
+            config.confidence_threshold if recover_threshold is None
+            else float(recover_threshold)
+        )
+        self.last_confidence: float = 1.0
         if native_preprocess:
             from feartracker_tpu import native
 
@@ -143,6 +158,7 @@ class FEARTracker:
         rect = clamp_bbox(np.asarray(rect), image.shape)
         self.bbox = rect
         self.paths = deque([rect], maxlen=10)
+        self.last_confidence = 1.0
         self.mean_color = np.mean(image, axis=(0, 1))
         if self.native_preprocess:
             crop_norm, _ = self._native_crop(
@@ -162,9 +178,12 @@ class FEARTracker:
     def update(self, image: np.ndarray) -> Dict[str, Any]:
         """(ref: fear_tracker.py:46-67)"""
         assert self._template_features is not None, "call initialize() first"
+        context = self.config.search_context
+        if self.recover_context and self.last_confidence < self.recover_threshold:
+            context = self.recover_context
         if self.native_preprocess:
             crop_norm, window = self._native_crop(
-                image, self.bbox, self.config.search_context,
+                image, self.bbox, context,
                 self.config.instance_size, self.mean_color,
             )
             from feartracker_tpu.core.geometry import ensure_bbox_boundaries
@@ -185,7 +204,7 @@ class FEARTracker:
                 image=image,
                 bbox=self.bbox,
                 crop_size=self.config.instance_size,
-                offset=self.config.search_context,
+                offset=context,
                 padding_value=self.mean_color,
             )
             self.prev_size = search_bbox[2:]
@@ -198,4 +217,5 @@ class FEARTracker:
         pred = clamp_bbox(pred, image.shape)
         self.bbox = pred
         self.paths.append(pred)
+        self.last_confidence = float(confidence)
         return {"bbox": pred, "confidence": float(confidence)}

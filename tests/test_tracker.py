@@ -117,3 +117,45 @@ def test_smooth_bit_parity_under_identical_model_outputs():
 
     boxes, gold = run_control(max_frames=31, smooth=True)
     np.testing.assert_array_equal(np.asarray(boxes), np.asarray(gold))
+
+
+def test_host_tracker_recovery_widens_context():
+    """Host twin of ScanTracker's zoom-out re-acquisition: a sub-threshold
+    confidence switches the next search crop to recover_context; disabled
+    (or never-triggering) recovery is identical to the baseline."""
+    import jax
+    import jax.numpy as jnp
+
+    from feartracker_tpu.models.fbnet import TINY_TRUNK
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    model = FEARNet(trunk_blocks=TINY_TRUNK, adjust_channels=16, towernum=1)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 64, 64, 3))),
+        train=False,
+    )
+    cfg = TrackerConfig(score_size=8, total_stride=8, instance_size=64,
+                        template_size=32)
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 255, (3, 96, 128, 3)).astype(np.uint8)
+    b0 = np.array([40, 30, 30, 40], np.float32)
+
+    def run(**kw):
+        t = FEARTracker(model, variables, cfg, **kw)
+        t.initialize(frames[0], b0)
+        return [t.update(f)["bbox"] for f in frames[1:]], t
+
+    base, _ = run()
+    off, _ = run(recover_context=0.0)
+    never, _ = run(recover_context=4.0, recover_threshold=0.0)  # conf < 0 never
+    always, t_always = run(recover_context=4.0, recover_threshold=2.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(never))
+    assert not np.array_equal(np.asarray(base), np.asarray(always))
+    assert t_always.last_confidence < 2.0  # bookkeeping updated
+
+    with pytest.raises(ValueError):
+        FEARTracker(model, variables, cfg, recover_context=-1.0)
