@@ -112,6 +112,10 @@ class ExportedTracker:
         t.model = t.variables = None
         t.bbox = t.mean_color = t.prev_size = None
         t._template_features = None
+        # recovery bookkeeping FEARTracker.__init__ would have set
+        t.recover_context = 0.0
+        t.recover_threshold = t.config.confidence_threshold
+        t.last_confidence = 1.0
         from collections import deque
 
         t.paths = deque(maxlen=10)
