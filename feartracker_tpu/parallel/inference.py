@@ -46,8 +46,17 @@ class ShardedScanTracker(ScanTracker):
     def init(self, frames, bboxes, mean_color=None) -> StreamState:
         """Same contract as ScanTracker.init: ``mean_color`` (S, 3) overrides
         the pad color — letterboxed callers (evaluate/batched_eval.py) must
-        pass the mean of the real image region, not the letterboxed frame."""
-        frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)
+        pass the mean of the real image region, not the letterboxed frame.
+
+        Multi-object mode (rank-3 / rank-3-per-step frames: S objects in ONE
+        shared video) replicates the frame across the mesh — one small
+        transfer; the stream parallelism lives entirely in the sharded
+        state/bboxes, and the in-graph broadcast stays collective-free."""
+        frames = jax.numpy.asarray(frames)
+        frames = jax.device_put(
+            frames,
+            self._replicated if frames.ndim == 3 else self._stream_sharding,
+        )
         bboxes = jax.device_put(jax.numpy.asarray(bboxes), self._stream_sharding)
         mc = None
         if mean_color is not None:
@@ -57,14 +66,22 @@ class ShardedScanTracker(ScanTracker):
         return self._init_jit(self.variables, self._folded, frames, bboxes, mc)
 
     def step(self, state: StreamState, frames, step_index=None):
-        frames = jax.device_put(jax.numpy.asarray(frames), self._stream_sharding)
+        frames = jax.numpy.asarray(frames)
+        frames = jax.device_put(
+            frames,
+            self._replicated if frames.ndim == 3 else self._stream_sharding,
+        )
         idx = None
         if step_index is not None:
             idx = jax.numpy.asarray(step_index, jax.numpy.int32)
         return self._step_jit(self.variables, self._folded, state, frames, idx)
 
     def track(self, state: StreamState, frames, start_step: int = 0):
-        frames = jax.device_put(jax.numpy.asarray(frames), self._chunk_sharding)
+        frames = jax.numpy.asarray(frames)
+        frames = jax.device_put(
+            frames,
+            self._replicated if frames.ndim == 4 else self._chunk_sharding,
+        )
         return self._track_jit(
             self.variables, self._folded, state, frames,
             jax.numpy.asarray(start_step, jax.numpy.int32),

@@ -186,7 +186,20 @@ class ScanTracker:
         x = normalize_imagenet(crops).astype(self.dtype)
         return self._features(variables, folded, x)
 
+    @staticmethod
+    def _broadcast_shared(frames: jnp.ndarray, num_streams: int) -> jnp.ndarray:
+        """Multi-object mode: a rank-3 (H, W, 3) frame is one video shared by
+        all S streams (S objects tracked in the same footage). Broadcast to
+        (S, H, W, 3) IN-GRAPH — XLA fuses the broadcast into the crop
+        gather/contraction, so the frame is transferred and stored once
+        regardless of S (the host-side alternative, ``np.tile`` before
+        ``track()``, pays S× the host→device bandwidth)."""
+        if frames.ndim == 3:
+            return jnp.broadcast_to(frames[None], (num_streams,) + frames.shape)
+        return frames
+
     def _init_impl(self, variables, folded, frames: jnp.ndarray, bboxes: jnp.ndarray, mean_color=None) -> StreamState:
+        frames = self._broadcast_shared(frames, bboxes.shape[0])
         H, W = frames.shape[1], frames.shape[2]
         bboxes = clamp_bbox(bboxes.astype(jnp.float32), (H, W))
         if mean_color is None:
@@ -204,6 +217,7 @@ class ScanTracker:
         self, variables, folded, state: StreamState, frames: jnp.ndarray, step_index=None
     ) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         cfg = self.config
+        frames = self._broadcast_shared(frames, state.bbox.shape[0])
         H, W = frames.shape[1], frames.shape[2]
 
         if self.recover_context:
@@ -294,7 +308,8 @@ class ScanTracker:
         return new_state, outputs
 
     def _track_impl(self, variables, folded, state: StreamState, frames: jnp.ndarray, start_step=0):
-        """frames: (T, S, H, W, 3) → (state, outputs stacked over T).
+        """frames: (T, S, H, W, 3) or shared (T, H, W, 3) → (state, outputs
+        stacked over T).
 
         ``start_step`` offsets the frame indices that pace the dual-template
         ``update_interval`` cadence across chunked track() calls."""
@@ -309,6 +324,10 @@ class ScanTracker:
     def init(self, frames, bboxes, mean_color=None) -> StreamState:
         """First frame of every stream + initial boxes → carried state.
 
+        ``frames``: (S, H, W, 3) — one video per stream — or (H, W, 3) for
+        **multi-object tracking**: S objects (one per ``bboxes`` row) in the
+        same video, broadcast in-graph (see _broadcast_shared).
+
         ``mean_color`` (S, 3) overrides the pad color (default: frame mean,
         ref fear_tracker.py:27 — callers feeding letterboxed frames should
         pass the mean of the real image region)."""
@@ -316,7 +335,8 @@ class ScanTracker:
         return self._init_jit(self.variables, self._folded, jnp.asarray(frames), jnp.asarray(bboxes), mc)
 
     def step(self, state: StreamState, frames, step_index=None) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
-        """One frame for every stream.
+        """One frame for every stream: (S, H, W, 3), or (H, W, 3) shared by
+        all S streams (multi-object mode — transferred once regardless of S).
 
         ``step_index`` (running frame count) paces the dual-template
         ``update_interval``; None = refresh-eligible on this frame."""
@@ -324,7 +344,11 @@ class ScanTracker:
         return self._step_jit(self.variables, self._folded, state, jnp.asarray(frames), idx)
 
     def track(self, state: StreamState, frames, start_step: int = 0) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
-        """A chunk of frames (T, S, H, W, 3), scanned on device.
+        """A chunk of frames (T, S, H, W, 3), scanned on device — or
+        (T, H, W, 3) for multi-object mode: every stream tracks its own
+        object through the SAME footage, and the chunk is host→device
+        transferred once instead of S times (the transfer is the live-serving
+        bottleneck; BENCHMARKS.md "Multi-object tracking").
 
         ``start_step``: global index of the chunk's first frame — keeps the
         dual-template ``update_interval`` cadence steady across chunks (pass

@@ -155,7 +155,9 @@ class StreamPool:
 
     def step(self, frames: np.ndarray) -> Dict[str, Any]:
         """Advance all slots one frame. ``frames``: (capacity, H, W, 3) —
-        inactive slots may carry anything (their outputs are masked)."""
+        inactive slots may carry anything (their outputs are masked) — or a
+        single (H, W, 3) frame shared by every slot (one camera, many
+        tracked objects: ScanTracker multi-object mode, transferred once)."""
         return self.step_async(frames).result()
 
     def step_async(self, frames: np.ndarray) -> PendingStep:
@@ -175,7 +177,8 @@ class StreamPool:
         """Advance all slots through a (T, capacity, H, W, 3) frame chunk on
         device in one dispatch (`lax.scan` over T) — the serving mode for
         remote-attached accelerators where per-frame dispatch dominates (see
-        docs/SERVING.md). Outputs carry the leading T axis."""
+        docs/SERVING.md). Also accepts a shared (T, H, W, 3) chunk: one video
+        feeding every slot (multi-object). Outputs carry the leading T axis."""
         return self.step_chunk_async(frames).result()
 
     def step_chunk_async(self, frames: np.ndarray) -> PendingStep:
@@ -186,7 +189,7 @@ class StreamPool:
         )
         self._step_count += T
         return PendingStep(
-            self, out, self.active.copy(), frames if self.auto_reinit else None
+            self, out, self.active.copy(), frames[-1] if self.auto_reinit else None
         )
 
     def _drain(self, out, active: np.ndarray, frames: Optional[np.ndarray]) -> Dict[str, Any]:
@@ -205,12 +208,17 @@ class StreamPool:
             # source is the chunk's last frame/prediction, the freshest state
             failure = result["failure"].any(0) if result["failure"].ndim == 2 else result["failure"]
             bbox = result["bbox"][-1] if result["bbox"].ndim == 3 else result["bbox"]
-            last_frames = frames[-1] if frames.ndim == 5 else frames
+            # ``frames`` is the dispatch's LAST frame — (capacity, H, W, 3)
+            # per-slot or one shared (H, W, 3) (multi-object mode) — or a
+            # full (T, capacity, H, W, 3) chunk from a direct caller
+            if frames.ndim == 5:
+                frames = frames[-1]
             for slot in np.nonzero(failure & self.active)[0]:
+                src = frames if frames.ndim == 3 else frames[slot]
                 sub = self.tracker._init_jit(
                     self.tracker.variables,
                     self.tracker._folded,
-                    jnp.asarray(last_frames[slot])[None],
+                    jnp.asarray(src)[None],
                     jnp.asarray(bbox[slot], jnp.float32)[None],
                     None,
                 )

@@ -463,3 +463,86 @@ def test_recover_context_widens_window_after_low_confidence(tracker):
 
     with pytest.raises(ValueError):
         ScanTracker(tracker.model, tracker.variables, CFG, recover_context=-1.0)
+
+
+def test_multiobject_shared_frames_match_tiled(tracker):
+    """Multi-object mode: rank-3 frames (one video, S objects) must be
+    bit-identical to tiling the video across S streams host-side — init,
+    chunked track, and single step."""
+    rng = np.random.RandomState(7)
+    T, S = 5, 3
+    video = np.stack([_frames(rng)[0] for _ in range(T)])  # (T, H, W, 3)
+    boxes = np.array(
+        [[40, 30, 30, 40], [20, 20, 30, 30], [60, 50, 40, 30]], np.float32
+    )
+
+    tiled = np.broadcast_to(video[:, None], (T, S, *HW, 3)).copy()
+    st_t = tracker.init(tiled[0], boxes)
+    st_s = tracker.init(video[0], boxes)
+    np.testing.assert_array_equal(
+        np.asarray(st_s.template_feats), np.asarray(st_t.template_feats)
+    )
+
+    st_t, out_t = tracker.track(st_t, tiled[1:4])
+    st_s, out_s = tracker.track(st_s, video[1:4])
+    np.testing.assert_array_equal(np.asarray(out_s["bbox"]), np.asarray(out_t["bbox"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_s["confidence"]), np.asarray(out_t["confidence"])
+    )
+
+    st_t, out_t = tracker.step(st_t, tiled[4])
+    st_s, out_s = tracker.step(st_s, video[4])
+    np.testing.assert_array_equal(np.asarray(out_s["bbox"]), np.asarray(out_t["bbox"]))
+
+
+def test_multiobject_dynamic_template_and_recovery(tracker):
+    """The shared-frame broadcast composes with the dual-template refresh
+    (which re-crops the template from the shared frame) and the zoom-out
+    recovery branch."""
+    tr = ScanTracker(
+        tracker.model, tracker.variables, CFG,
+        dynamic_template=True, update_threshold=0.0,  # refresh every frame
+        recover_context=4.0, recover_threshold=1.1,   # widen every frame
+    )
+    rng = np.random.RandomState(8)
+    T, S = 4, 2
+    video = np.stack([_frames(rng)[0] for _ in range(T)])
+    boxes = np.array([[40, 30, 30, 40], [20, 20, 30, 30]], np.float32)
+    tiled = np.broadcast_to(video[:, None], (T, S, *HW, 3)).copy()
+
+    st_t = tr.init(tiled[0], boxes)
+    st_s = tr.init(video[0], boxes)
+    st_t, out_t = tr.track(st_t, tiled[1:])
+    st_s, out_s = tr.track(st_s, video[1:])
+    np.testing.assert_array_equal(np.asarray(out_s["bbox"]), np.asarray(out_t["bbox"]))
+    np.testing.assert_array_equal(
+        np.asarray(st_s.dyn_feats), np.asarray(st_t.dyn_feats)
+    )
+
+
+def test_pool_shared_frame_multiobject(tracker):
+    """One camera, many objects: the pool accepts a single (H, W, 3) frame /
+    (T, H, W, 3) chunk shared by every slot, equal to per-slot tiling —
+    including the reinit policy's re-template source."""
+    rng = np.random.RandomState(11)
+    frames = [_frames(rng)[0] for _ in range(4)]
+
+    def run(shared: bool):
+        pool = StreamPool(tracker, capacity=3, frame_hw=HW, failure_policy="reinit")
+        pool.add(frames[0], [40, 30, 30, 40])
+        pool.add(frames[0], [20, 20, 30, 30])
+        outs = []
+        f1 = frames[1] if shared else np.broadcast_to(frames[1], (3, *HW, 3)).copy()
+        outs.append(pool.step(f1))
+        chunk = (np.stack(frames[2:]) if shared
+                 else np.broadcast_to(np.stack(frames[2:])[:, None], (2, 3, *HW, 3)).copy())
+        outs.append(pool.step_chunk(chunk))
+        return outs, pool
+
+    (o_s, p_s), (o_t, p_t) = run(True), run(False)
+    for a, b in zip(o_s, o_t):
+        np.testing.assert_array_equal(a["bbox"], b["bbox"])
+        np.testing.assert_array_equal(a["failure"], b["failure"])
+    np.testing.assert_array_equal(
+        np.asarray(p_s.state.template_feats), np.asarray(p_t.state.template_feats)
+    )

@@ -123,3 +123,32 @@ def test_pallas_postprocess_on_cpu_interprets():
     np.testing.assert_allclose(
         np.asarray(out["bbox"]), np.asarray(rout["bbox"]), atol=1e-2
     )
+
+
+def test_sharded_multiobject_shared_frames():
+    """Multi-object mode on the mesh: a shared (replicated) video with the
+    stream/object axis sharded must equal the tiled per-stream path — and the
+    carried state must stay sharded over the mesh."""
+    model, variables, frames0, chunk, bboxes = _setup()
+    mesh = make_mesh(8)
+    S = bboxes.shape[0]
+    video0 = frames0[0]            # (H, W, 3) shared by all S objects
+    video = chunk[:, 0]            # (T, H, W, 3)
+    boxes = np.stack([[10 + 3 * i, 10 + 2 * i, 30, 40] for i in range(S)]).astype(np.float32)
+
+    sharded = ShardedScanTracker(model, variables, CFG, mesh=mesh)
+    st_shared = sharded.init(video0, boxes)
+    assert len(st_shared.bbox.sharding.device_set) == 8
+    st_shared, out_shared = sharded.track(st_shared, video)
+
+    tiled0 = np.broadcast_to(video0, (S, *video0.shape)).copy()
+    tiled = np.broadcast_to(video[:, None], (video.shape[0], S, *video0.shape)).copy()
+    st_tiled = sharded.init(tiled0, boxes)
+    st_tiled, out_tiled = sharded.track(st_tiled, tiled)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_shared["bbox"]), np.asarray(out_tiled["bbox"])
+    )
+    st_shared, out_s = sharded.step(st_shared, video0)
+    st_tiled, out_t = sharded.step(st_tiled, tiled0)
+    np.testing.assert_array_equal(np.asarray(out_s["bbox"]), np.asarray(out_t["bbox"]))
