@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=4, help="timed chunks per config")
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--device_resident", action="store_true",
+                    help="pre-stage the feed on device (isolates in-graph "
+                    "broadcast cost from the H2D transfer difference)")
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
 
@@ -67,6 +70,9 @@ def main() -> None:
                 feed = np.broadcast_to(video[:, None], (T, n, H, W, 3)).copy()
             else:
                 feed0, feed = frame0, video
+            if args.device_resident:
+                feed0, feed = jax.device_put(feed0), jax.device_put(feed)
+                jax.block_until_ready(feed)
             state = tracker.init(feed0, boxes)
             state, out = tracker.track(state, feed)  # compile + warm
             np.asarray(out["bbox"])
