@@ -63,7 +63,14 @@ def measure(unroll: int) -> float:
 
 
 def main():
-    results = {u: measure(u) for u in (1, 2, 4)}
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--unrolls", default="1,2,4",
+                    help="comma list (other knobs via PROBE_* env vars: "
+                    "WARMUP/TIMED/STREAMS/CHUNK/REPEATS)")
+    args = ap.parse_args()
+    results = {u: measure(u) for u in (int(x) for x in args.unrolls.split(","))}
     base = results[1]
     for u, fps in results.items():
         print(f"unroll={u}: {fps:,.0f} FPS ({fps / base - 1:+.1%} vs unroll=1)")
