@@ -93,12 +93,18 @@ def main():
                     help="train the dual-template module (BASELINE config 3)")
     ap.add_argument("--device_augs", action="store_true",
                     help="staged loader + on-device augmentation in the train step")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume the FIRST run from the experiment's last "
+                    "checkpoint (crash-recovery drill: kill -9 a prior run "
+                    "mid-training, rerun with --resume, and the epoch/step "
+                    "counters continue from the last completed save)")
     args = ap.parse_args()
 
     from feartracker_tpu.train.loop import Trainer
 
     t0 = time.time()
-    trainer = Trainer(build_config(args.root, args.exp, args.platform, args.epochs, False,
+    trainer = Trainer(build_config(args.root, args.exp, args.platform, args.epochs,
+                               args.resume,
                                dual_template=args.dual, device_augs=args.device_augs))
     trainer.setup_data()
     trainer.setup_state(0)
