@@ -40,6 +40,9 @@ def main():
                     help="comma list of recover_context values (0 = baseline, "
                     "always included)")
     ap.add_argument("--recover_threshold", type=float, default=0.7)
+    ap.add_argument("--with_dual", action="store_true",
+                    help="add ema@1 and ema@1+recovery arms (the production-"
+                    "composition question)")
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--sequences", type=int, default=8)
     ap.add_argument("--seeds", default="7,13,21,29,37")
@@ -74,12 +77,27 @@ def main():
                          scenario=scenario)
             datasets[(scenario, seed)] = GOT10kDataset(os.path.join(root, "got10k"), subset="val")
 
+    # arms: baseline + each recovery context, and (with --with_dual) the
+    # production-composition question — does EMA@1 (the distractor-churn
+    # recommendation) compose with zoom-out recovery (the occlusion
+    # recommendation), or do they interact (e.g. a template refresh taken
+    # from a recovered wide crop)?
+    arms = [("baseline", {})]
+    for ctx in contexts:
+        arms.append((f"recover_c{ctx:g}",
+                     dict(recover_context=ctx, recover_threshold=args.recover_threshold)))
+    if args.with_dual:
+        dual = dict(dynamic_template=True, update_mode="ema", update_interval=1)
+        arms.append(("ema1", dict(dual)))
+        for ctx in contexts:
+            arms.append((f"ema1+recover_c{ctx:g}",
+                         dict(dual, recover_context=ctx,
+                              recover_threshold=args.recover_threshold)))
+
     rows = []
-    for ctx in [0.0] + contexts:
-        kw = {} if ctx == 0.0 else dict(
-            recover_context=ctx, recover_threshold=args.recover_threshold)
+    for label, kw in arms:
+        ctx = kw.get("recover_context", 0.0)
         tracker, prov = build_scan_tracker(**kw)
-        label = "baseline" if ctx == 0.0 else f"recover_c{ctx:g}"
         for (scenario, seed), ds in datasets.items():
             res = batched_evaluate(tracker, ds, streams=args.sequences)
             row = {"scenario": scenario, "mode": label, "seed": seed,
