@@ -59,7 +59,62 @@ TINY_TRUNK: Tuple[IRBlockSpec, ...] = (
     IRBlockSpec(2, 5, 2, 16),
 )
 
-TRUNKS = {"fear_xs": FEAR_XS_TRUNK, "fear_tiny": TINY_TRUNK}
+
+# Scaled family variants. The reference ships only FEAR-XS (its paper names
+# FEAR-M/FEAR-L with heavier backbones but the repo releases neither weights
+# nor specs — ref: README.md:28 "The FEAR-XS model checkpoint is available").
+# These are framework-native scale-ups in the same FBNet inverted-residual
+# design space: identical output stride 16 and head geometry (score 16×16,
+# template feats 8×8 after the neck), so every downstream component —
+# ScanTracker, StreamPool, training, export — is drop-in; only width/depth
+# (and hence MACs/params) grow. See BENCHMARKS.md "Model family".
+FEAR_M_TRUNK: Tuple[IRBlockSpec, ...] = (
+    IRBlockSpec(1, 3, 1, 24),
+    IRBlockSpec(6, 3, 2, 36),
+    IRBlockSpec(3, 3, 1, 36),
+    IRBlockSpec(3, 3, 1, 36),
+    IRBlockSpec(6, 5, 2, 48),
+    IRBlockSpec(3, 5, 1, 48),
+    IRBlockSpec(6, 5, 1, 48),
+    IRBlockSpec(6, 3, 1, 48),
+    IRBlockSpec(6, 5, 2, 96),
+    IRBlockSpec(3, 5, 1, 96),
+    IRBlockSpec(6, 5, 1, 96),
+    IRBlockSpec(6, 5, 1, 96),
+    IRBlockSpec(6, 5, 1, 96),
+    IRBlockSpec(6, 5, 1, 168),
+    IRBlockSpec(6, 5, 1, 168),
+    IRBlockSpec(6, 5, 1, 168),
+    IRBlockSpec(3, 5, 1, 168),
+)
+
+FEAR_L_TRUNK: Tuple[IRBlockSpec, ...] = (
+    IRBlockSpec(1, 3, 1, 32),
+    IRBlockSpec(6, 3, 2, 48),
+    IRBlockSpec(3, 3, 1, 48),
+    IRBlockSpec(3, 3, 1, 48),
+    IRBlockSpec(6, 5, 2, 64),
+    IRBlockSpec(6, 5, 1, 64),
+    IRBlockSpec(6, 5, 1, 64),
+    IRBlockSpec(6, 3, 1, 64),
+    IRBlockSpec(6, 5, 2, 128),
+    IRBlockSpec(6, 5, 1, 128),
+    IRBlockSpec(6, 5, 1, 128),
+    IRBlockSpec(6, 5, 1, 128),
+    IRBlockSpec(6, 5, 1, 128),
+    IRBlockSpec(6, 5, 1, 128),
+    IRBlockSpec(6, 5, 1, 224),
+    IRBlockSpec(6, 5, 1, 224),
+    IRBlockSpec(6, 5, 1, 224),
+    IRBlockSpec(3, 5, 1, 224),
+)
+
+TRUNKS = {
+    "fear_xs": FEAR_XS_TRUNK,
+    "fear_tiny": TINY_TRUNK,
+    "fear_m": FEAR_M_TRUNK,
+    "fear_l": FEAR_L_TRUNK,
+}
 
 
 class InvertedResidual(nn.Module):

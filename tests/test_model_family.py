@@ -1,0 +1,105 @@
+"""Model family: fear_tiny / fear_xs / fear_m / fear_l.
+
+The reference ships exactly one architecture, FEAR-XS (its paper names
+FEAR-M/FEAR-L but the repo releases neither specs nor weights — ref:
+README.md:28). The framework's registry (`models/fbnet.TRUNKS`) adds scaled
+variants in the same FBNet inverted-residual design space with identical
+stride-16 geometry, so the whole stack — tracker, scan runtime, training,
+export — is drop-in across the family. These tests lock that contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feartracker_tpu.config.compose import load_config
+from feartracker_tpu.convert.load import (
+    PACKAGED_FEAR_XS,
+    load_npz_variables,
+    transfer_variables,
+)
+from feartracker_tpu.evaluate.flops import count_params
+from feartracker_tpu.models.fbnet import TRUNKS
+from feartracker_tpu.models.fear_net import FEARNet
+
+FAMILY = ["fear_tiny", "fear_xs", "fear_m", "fear_l"]
+
+
+def test_trunk_registry_names_and_geometry():
+    assert set(FAMILY) <= set(TRUNKS)
+    for name in ["fear_xs", "fear_m", "fear_l"]:
+        blocks = TRUNKS[name]
+        # stem is stride 2; deployable trunks add exactly three stride-2
+        # blocks → output stride 16, the geometry every downstream component
+        # (score 16×16, total_stride 16, template feats 8×8) assumes
+        assert sum(1 for b in blocks if b.stride == 2) == 3, name
+        for b in blocks:
+            assert b.kernel in (3, 5) and b.stride in (1, 2)
+            assert b.expansion >= 1 and b.out_channels > 0
+
+
+def _init(name, adjust=32, towernum=1, img=64):
+    model = FEARNet(
+        trunk_blocks=TRUNKS[name], adjust_channels=adjust, towernum=towernum
+    )
+    template = jnp.zeros((1, img // 2, img // 2, 3), jnp.float32)
+    search = jnp.zeros((1, img, img, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), (template, search))
+    return model, variables, template, search
+
+
+@pytest.mark.parametrize("name", ["fear_m", "fear_l"])
+def test_family_forward_and_track_shapes(name):
+    model, variables, template, search = _init(name)
+    out = model.apply(variables, (template, search))
+    score = search.shape[1] // 16
+    assert out["TARGET_REGRESSION_LABEL_KEY"].shape == (1, score, score, 4)
+    assert out["TARGET_CLASSIFICATION_KEY"].shape == (1, score, score, 1)
+    feats = model.apply(variables, template, method=model.get_features)
+    assert feats.shape == (1, score // 2, score // 2, 32)
+    tracked = model.apply(variables, search, feats, method=model.track)
+    assert tracked["TARGET_REGRESSION_LABEL_KEY"].shape == (1, score, score, 4)
+
+
+def test_family_param_counts_are_ordered():
+    counts = {}
+    for name in FAMILY:
+        _, variables, _, _ = _init(name)
+        counts[name] = count_params(variables["params"])
+    assert (
+        counts["fear_tiny"]
+        < counts["fear_xs"]
+        < counts["fear_m"]
+        < counts["fear_l"]
+    ), counts
+
+
+@pytest.mark.parametrize("name", ["fear_m", "fear_l"])
+def test_family_config_groups_compose(name):
+    cfg = load_config(config_name="fear_tracker", overrides=[f"model={name}"])
+    assert cfg["model"]["name"] == name
+    assert cfg["model"]["adjust_channels"] == 256
+    assert cfg["model"]["img_size"] == 256
+    assert name in TRUNKS  # the name the Trainer will look up
+
+
+def test_warm_start_xs_into_fear_m_transfers_shared_prefix():
+    """Non-strict transfer (ref analog: utils/torch.py:21-24) seeds fear_m
+    from the recovered FEAR-XS weights: same-shape leaves (stem, and every
+    depthwise/BN leaf whose width matches) copy over; widened leaves stay
+    at init — no exception, full report."""
+    loaded = load_npz_variables(PACKAGED_FEAR_XS)
+    model = FEARNet(trunk_blocks=TRUNKS["fear_m"], adjust_channels=256, towernum=2)
+    template = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    search = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    target = model.init(jax.random.PRNGKey(0), (template, search))
+    target = jax.tree.map(np.asarray, target)
+    merged, report = transfer_variables(loaded, target)
+    # the 16-channel stem is shared across the family by construction
+    assert "params/encoder/stem/conv/kernel" in report["transferred"]
+    assert report["skipped_shape"], "widened leaves must be reported, not copied"
+    np.testing.assert_array_equal(
+        merged["params"]["encoder"]["stem"]["conv"]["kernel"],
+        np.asarray(loaded["params"]["encoder"]["stem"]["conv"]["kernel"], np.float32),
+    )
