@@ -163,3 +163,69 @@ def test_warm_start_xs_into_fear_m_transfers_shared_prefix():
         merged["params"]["encoder"]["stem"]["conv"]["kernel"],
         np.asarray(loaded["params"]["encoder"]["stem"]["conv"]["kernel"], np.float32),
     )
+
+
+def test_family_export_roundtrip_fear_m(tmp_path):
+    """The family claim is "drop-in across export" — lock it: a fear_m net
+    exports to the two-graph StableHLO artifact (ref analog:
+    evaluate/coreml_convert.py:13-57), reloads without model source, and
+    matches the live model. Reduced geometry keeps the CPU compile cheap;
+    the architecture — not the canvas size — is what this test pins."""
+    from feartracker_tpu.convert.export import export_tracker, load_exported
+    from feartracker_tpu.convert.fear_weights import imagenet_preprocess
+
+    model = FEARNet(trunk_blocks=TRUNKS["fear_m"], adjust_channels=32, towernum=2)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 64, 64, 3))),
+        train=False,
+    )
+    paths = export_tracker(
+        model, variables, str(tmp_path), template_size=32, instance_size=64,
+        feat_size=2, channels=32, quantize=False,
+    )
+    rng = np.random.RandomState(1)
+    template = rng.randint(0, 255, (1, 32, 32, 3)).astype(np.float32)
+    search = rng.randint(0, 255, (1, 64, 64, 3)).astype(np.float32)
+
+    feats = load_exported(paths["tracker_init"])(template)
+    assert np.asarray(feats).shape == (1, 2, 2, 32)
+    bbox, cls = load_exported(paths["tracker"])(search, feats)
+    assert np.asarray(bbox).shape == (1, 4, 4, 4)
+    assert np.asarray(cls).shape == (1, 4, 4, 1)
+
+    live_feats = model.apply(
+        variables,
+        jnp.asarray(imagenet_preprocess(template[0].astype(np.uint8)))[None],
+        method=model.get_features,
+    )
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(live_feats), atol=1e-4)
+
+
+def test_family_scan_runtime_tracks_fear_m():
+    """The family claim is "drop-in across the scan runtime": ScanTracker
+    with the fear_m trunk inits and tracks a 2-stream chunk at stride-16
+    geometry, returning finite bboxes inside the frame."""
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.runtime import ScanTracker
+
+    cfg = TrackerConfig(score_size=4, total_stride=16, instance_size=64,
+                        template_size=32)
+    model = FEARNet(trunk_blocks=TRUNKS["fear_m"], adjust_channels=32, towernum=2)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 64, 64, 3))),
+        train=False,
+    )
+    rng = np.random.RandomState(2)
+    frames = rng.randint(0, 255, (2, 96, 128, 3)).astype(np.uint8)
+    chunk = rng.randint(0, 255, (3, 2, 96, 128, 3)).astype(np.uint8)
+    bboxes = np.array([[40.0, 30.0, 30.0, 24.0], [20.0, 20.0, 40.0, 40.0]])
+
+    tracker = ScanTracker(model, variables, cfg)
+    state = tracker.init(frames, bboxes)
+    state, out = tracker.track(state, chunk)
+    bb = np.asarray(out["bbox"])
+    assert bb.shape == (3, 2, 4)
+    assert np.isfinite(bb).all()
+    assert (bb[..., 2:] > 0).all()
