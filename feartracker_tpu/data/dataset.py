@@ -33,6 +33,39 @@ from feartracker_tpu.utils.image import normalize_imagenet_np as _normalize
 SAMPLER_TYPES = {"track": TrackSampler, "frame": FrameSampler}
 
 
+class ImageCache:
+    """Thread-safe decoded-frame LRU keyed by absolute path.
+
+    Multi-epoch training re-decodes the same JPEGs every epoch; on a
+    host whose loader is decode-bound (measured: tools/loader_throughput.py)
+    this cache turns every post-first-epoch read into a memcpy. Hits return
+    a copy so downstream augmentation can never alias the cached frame.
+    The reference has no equivalent — its torch DataLoader worker processes
+    re-decode per epoch (ref: base_lightning_model.py:113-132).
+    """
+
+    def __init__(self, max_items: int = 16384):
+        import collections
+        import threading
+
+        self.max_items = int(max_items)
+        self._d: "collections.OrderedDict[str, np.ndarray]" = collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def read(self, path: str) -> np.ndarray:
+        with self._lock:
+            img = self._d.get(path)
+            if img is not None:
+                self._d.move_to_end(path)
+                return img.copy()
+        img = read_img(path)
+        with self._lock:
+            self._d[path] = img
+            if len(self._d) > self.max_items:
+                self._d.popitem(last=False)
+        return img.copy()
+
+
 def read_img(path: str) -> np.ndarray:
     """(ref: dataset/utils.py:35-43)"""
     img = cv2.imread(path)
@@ -86,6 +119,18 @@ class SiameseTrackingDataset:
         # nondeterministically across the loader's worker threads
         self.base_seed = 0 if seed is None else int(seed)
         self.epoch = 0
+        # decoded-frame LRU (config "image_cache": true or a max-item count);
+        # off by default — opt in for multi-epoch runs on decode-bound hosts
+        cache_cfg = config.get("image_cache", 0)
+        self._image_cache: Optional[ImageCache] = (
+            ImageCache(16384 if cache_cfg is True else int(cache_cfg))
+            if cache_cfg else None
+        )
+
+    def _read(self, path: str) -> np.ndarray:
+        if self._image_cache is not None:
+            return self._image_cache.read(path)
+        return read_img(path)
 
     def __len__(self) -> int:
         return len(self.item_sampler)
@@ -139,7 +184,7 @@ class SiameseTrackingDataset:
                 break
         if aux_item is None:
             aux_item = template_item
-        aux_image = read_img(os.path.join(self.root, aux_item["img_path"]))
+        aux_image = self._read(os.path.join(self.root, aux_item["img_path"]))
         aux_bbox = ensure_bbox_boundaries(
             np.asarray(ast.literal_eval(str(aux_item["bbox"]))), aux_image.shape[:2]
         )
@@ -181,8 +226,8 @@ class SiameseTrackingDataset:
         rng = self._item_rng(idx)
         anno = self.item_sampler.extract_sample(idx, rng=rng)
         template_item, search_item = anno["template"], anno["search"]
-        template_image = read_img(os.path.join(self.root, template_item["img_path"]))
-        search_image = read_img(os.path.join(self.root, search_item["img_path"]))
+        template_image = self._read(os.path.join(self.root, template_item["img_path"]))
+        search_image = self._read(os.path.join(self.root, search_item["img_path"]))
         template_bbox = ensure_bbox_boundaries(
             np.asarray(ast.literal_eval(str(template_item["bbox"]))), template_image.shape[:2]
         )

@@ -52,13 +52,18 @@ def _device_memory_mb() -> Dict[str, float]:
 
 
 class Telemetry:
-    def __init__(self, csv_path: Optional[str] = None):
+    def __init__(self, csv_path: Optional[str] = None, mem_every: int = 0):
         self.rows: List[Dict[str, Any]] = []
         self.csv_path = csv_path
         # device memory_stats() may be an RPC on remote backends (~100 ms
         # through this env's tunnel) — never query it inside the timed loop.
-        # Snapshot once here and once in save(); the final row carries the
-        # end-of-run values (peak is monotone, so nothing is lost).
+        # Snapshot once here and once in save(); with ``mem_every`` > 0 the
+        # endurance protocols additionally re-sample every Nth record AFTER
+        # that call's duration was taken, so the CSV carries a real HBM
+        # high-watermark TREND (the analog of the Swift harness's per-call
+        # battery/thermal columns, Event.swift:19-31) without perturbing the
+        # timed section. Rows between samples repeat the last sample.
+        self.mem_every = int(mem_every)
         self._device_mem = _device_memory_mb()
 
     def record(self, call_idx: int, duration_s: float) -> None:
@@ -71,6 +76,8 @@ class Telemetry:
                 "timestamp": time.time(),
             }
         )
+        if self.mem_every and (call_idx + 1) % self.mem_every == 0:
+            self._device_mem = _device_memory_mb()
 
     def save(self) -> None:
         if not self.csv_path or not self.rows:
@@ -81,6 +88,30 @@ class Telemetry:
             writer = csv.DictWriter(fh, fieldnames=list(self.rows[0]))
             writer.writeheader()
             writer.writerows(self.rows)
+
+    def summary(self) -> Dict[str, float]:
+        """Endurance drift statistics over the recorded rows:
+
+        * ``step_time_drift_pct`` — mean of the last decile of call
+          durations vs the first decile, as a % change (a leak or thermal
+          throttle shows up as positive drift);
+        * ``rss_drift_mb`` — host RSS change first→last row;
+        * ``hbm_high_watermark_mb`` — max sampled device peak-bytes;
+        * ``hbm_trend_mb`` — last sampled device peak minus first (0 for a
+          steady-state donated-carry loop; growth means graph/state leak).
+        """
+        if not self.rows:
+            return {}
+        d = np.asarray([r["duration_ms"] for r in self.rows])
+        k = max(1, len(d) // 10)
+        first, last = float(d[:k].mean()), float(d[-k:].mean())
+        peaks = np.asarray([r.get("device_peak_mb", 0.0) for r in self.rows])
+        return {
+            "step_time_drift_pct": (last / first - 1.0) * 100.0 if first else 0.0,
+            "rss_drift_mb": float(self.rows[-1]["rss_mb"] - self.rows[0]["rss_mb"]),
+            "hbm_high_watermark_mb": float(peaks.max()),
+            "hbm_trend_mb": float(peaks[-1] - peaks[0]),
+        }
 
 
 def fps_benchmark(
@@ -119,11 +150,14 @@ def online_benchmark(
     duration_s: float = 30.0,
     input_fps: float = 30.0,
     csv_path: Optional[str] = None,
+    mem_every: int = 256,
 ) -> Dict[str, float]:
     """Fixed-cadence serving: one call scheduled every 1/input_fps; a call
     that would start while the previous is still running counts as dropped
-    (the serial-queue semantics of OperationManager.swift:11-35)."""
-    tele = Telemetry(csv_path)
+    (the serial-queue semantics of OperationManager.swift:11-35).
+    ``mem_every`` samples device HBM stats every Nth call (post-timing),
+    giving the CSV a high-watermark trend column."""
+    tele = Telemetry(csv_path, mem_every=mem_every)
     period = 1.0 / input_fps
     start = time.time()
     completed = dropped = 0
@@ -147,6 +181,7 @@ def online_benchmark(
         "dropped": float(dropped),
         "drop_rate": float(dropped / max(completed + dropped, 1)),
         "duration_s": float(time.time() - start),
+        **tele.summary(),
     }
 
 
@@ -157,6 +192,7 @@ def pipelined_online_benchmark(
     input_fps: float = 30.0,
     depth: int = 2,
     csv_path: Optional[str] = None,
+    mem_every: int = 256,
 ) -> Dict[str, float]:
     """Fixed-cadence serving with a bounded in-flight pipeline — the
     TPU-native upgrade of ``online_benchmark``.
@@ -173,7 +209,7 @@ def pipelined_online_benchmark(
     """
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
-    tele = Telemetry(csv_path)
+    tele = Telemetry(csv_path, mem_every=mem_every)
     period = 1.0 / input_fps
     start = time.time()
     completed = dropped = 0
@@ -211,6 +247,7 @@ def pipelined_online_benchmark(
         "latency_p99_ms": float(np.percentile(lat_arr, 99) * 1e3),
         "depth": float(depth),
         "duration_s": float(time.time() - start),
+        **tele.summary(),
     }
 
 
@@ -220,10 +257,12 @@ def offline_benchmark(
     duration_s: float = 30.0,
     fps: float = 30.0,
     csv_path: Optional[str] = None,
+    mem_every: int = 256,
 ) -> Dict[str, float]:
     """duration·fps calls back-to-back (OperationManager.swift:37-62; the
-    thermal-abort has no TPU analog)."""
-    tele = Telemetry(csv_path)
+    thermal-abort has no TPU analog). ``mem_every`` samples device HBM
+    stats every Nth call (post-timing) for the high-watermark trend."""
+    tele = Telemetry(csv_path, mem_every=mem_every)
     n_calls = int(duration_s * fps)
     t_start = time.time()
     for i in range(n_calls):
@@ -233,4 +272,9 @@ def offline_benchmark(
         tele.record(i, time.time() - t0)
     tele.save()
     total = time.time() - t_start
-    return {"calls": float(n_calls), "total_s": float(total), "achieved_fps": float(n_calls / total)}
+    return {
+        "calls": float(n_calls),
+        "total_s": float(total),
+        "achieved_fps": float(n_calls / total),
+        **tele.summary(),
+    }

@@ -390,3 +390,48 @@ def test_synthetic_structural_scenarios(tmp_path):
     _, b = boxes["pose"]
     aspect = b[:, 2] / b[:, 3]
     assert aspect.max() / aspect.min() > 1.3
+
+
+def test_endurance_telemetry_drift_columns_and_flatness(tmp_path):
+    """Endurance protocols must report step-time drift + HBM high-watermark
+    trend (VERDICT r4 #8) and the CSV must carry the trend columns. A
+    steady-state workload (fixed-cost call, no allocation growth) must
+    measure as flat: |step drift| small, HBM trend == high-watermark-stable.
+    The drift bound is generous (2×) because this asserts LEAK-flatness,
+    not scheduler jitter, and CI hosts are noisy."""
+    csv_path = str(tmp_path / "soak.csv")
+
+    def call():
+        # fixed-cost host work, no growing state
+        return float(np.square(np.arange(512)).sum())
+
+    res = F.offline_benchmark(
+        call, sync=lambda x: None, duration_s=0.5, fps=400,
+        csv_path=csv_path, mem_every=16,
+    )
+    for key in ("step_time_drift_pct", "rss_drift_mb",
+                "hbm_high_watermark_mb", "hbm_trend_mb"):
+        assert key in res, f"missing endurance summary key {key}"
+    # flatness: last-decile step time within 2x of the first decile, and the
+    # sampled HBM peak did not grow (CPU backend reports zeros, which also
+    # satisfies stability; on device this is the real watermark assert)
+    assert abs(res["step_time_drift_pct"]) < 100.0, res
+    assert res["hbm_trend_mb"] <= 1.0, res
+
+    header = open(csv_path).readline().strip().split(",")
+    assert {"duration_ms", "rss_mb", "device_mem_mb", "device_peak_mb"} <= set(header)
+
+
+def test_telemetry_summary_detects_drift():
+    """The drift statistic itself: a synthetic ramp in duration must show as
+    positive drift; a flat series as ~0."""
+    tele = F.Telemetry()
+    for i in range(100):
+        tele.record(i, 0.001 * (1 + i / 50))  # 1 ms -> 3 ms ramp
+    s = tele.summary()
+    assert s["step_time_drift_pct"] > 100.0
+
+    flat = F.Telemetry()
+    for i in range(100):
+        flat.record(i, 0.002)
+    assert abs(flat.summary()["step_time_drift_pct"]) < 1e-9

@@ -173,6 +173,7 @@ def test_family_export_roundtrip_fear_m(tmp_path):
     the architecture — not the canvas size — is what this test pins."""
     from feartracker_tpu.convert.export import export_tracker, load_exported
     from feartracker_tpu.convert.fear_weights import imagenet_preprocess
+    from feartracker_tpu.utils import constants as C
 
     model = FEARNet(trunk_blocks=TRUNKS["fear_m"], adjust_channels=32, towernum=2)
     variables = model.init(
@@ -200,6 +201,22 @@ def test_family_export_roundtrip_fear_m(tmp_path):
         method=model.get_features,
     )
     np.testing.assert_allclose(np.asarray(feats), np.asarray(live_feats), atol=1e-4)
+
+    # the TRACK graph must match numerically too, not just by shape — a
+    # regression in its baked-in normalization or connector wiring would
+    # otherwise pass (advisor r4)
+    live = model.apply(
+        variables,
+        jnp.asarray(imagenet_preprocess(search[0].astype(np.uint8)))[None],
+        live_feats,
+        method=model.track,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bbox), np.asarray(live[C.TARGET_REGRESSION_LABEL_KEY]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cls), np.asarray(live[C.TARGET_CLASSIFICATION_KEY]), atol=1e-4
+    )
 
 
 def test_family_scan_runtime_tracks_fear_m():
@@ -229,3 +246,8 @@ def test_family_scan_runtime_tracks_fear_m():
     assert bb.shape == (3, 2, 4)
     assert np.isfinite(bb).all()
     assert (bb[..., 2:] > 0).all()
+    # "inside the frame" is the clamp_bbox contract — assert it, not just
+    # finiteness (advisor r4): xywh within the 128×96 canvas
+    assert (bb[..., 0] >= 0).all() and (bb[..., 1] >= 0).all()
+    assert (bb[..., 0] + bb[..., 2] <= 128).all()
+    assert (bb[..., 1] + bb[..., 3] <= 96).all()

@@ -73,7 +73,8 @@ def _draw_object(img, rng, cx, cy, w, h, color, kind, angle=0.0):
 
 
 def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractors=2,
-                   appearance_drift=0.0, scenario="drift", obj_scale=1.0):
+                   appearance_drift=0.0, scenario="drift", obj_scale=1.0,
+                   presence_dropout=0.0):
     """``appearance_drift`` ∈ [0, 1]: the object's color linearly morphs to a
     second random color over the track (0 = static appearance + small jitter
     only).
@@ -100,6 +101,13 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
     ``size=(2h, 2w), obj_scale=2`` renders the geometrically identical scene
     at 2× resolution with an unchanged random stream — the letterbox-penalty
     experiment (tools/letterbox_penalty.py).
+
+    ``presence_dropout`` ∈ [0, 1): per-frame probability (frames ≥ 2) that
+    the target is NOT rendered — the frame is annotated ``presence=0`` and
+    trains the negative/zero-label-map path (ref: siam_dataset.py:49-52;
+    the reference's CSVs carry such rows via the ``presence`` column,
+    README.md:90). The extra rng draw happens ONLY when the feature is on,
+    so every existing fixture's random stream is unchanged at the default 0.
     """
     h, w = size
     bg = _textured_background(rng, size, obj_scale=obj_scale)
@@ -144,7 +152,14 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
             shade = 0.55 + 0.45 * fore  # view-dependent shading
             base = tuple(c * shade for c in base)
         jitter = tuple(int(np.clip(c + rng.randint(-10, 11), 0, 255)) for c in base)
-        bbox = _draw_object(img, rng, cxf, cyf, w_eff, oh * scale, jitter, kind, angle=angle)
+        absent = bool(presence_dropout) and f >= 2 and rng.rand() < presence_dropout
+        if absent:
+            # compute the would-be bbox on a scratch canvas; the real frame
+            # keeps background + distractors only (a true negative sample)
+            bbox = _draw_object(img.copy(), rng, cxf, cyf, w_eff, oh * scale,
+                                jitter, kind, angle=angle)
+        else:
+            bbox = _draw_object(img, rng, cxf, cyf, w_eff, oh * scale, jitter, kind, angle=angle)
         if scenario == "swap":
             # same-appearance distractor crossing the target at mid-track,
             # drawn on top: starts offset, meets the object at n/2, moves on
@@ -168,14 +183,17 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
             dict(
                 sequence_id=track_id, track_id=track_id, frame_index=f, img_path=path,
                 bbox=str(bbox), frame_shape=str([w, h]), dataset="synthetic",
-                presence=1, near_corner=near,
+                presence=0 if absent else 1, near_corner=near,
             )
         )
     return rows
 
 
 def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224),
-             appearance_drift=0.0, scenario="drift", obj_scale=1.0):
+             appearance_drift=0.0, scenario="drift", obj_scale=1.0,
+             presence_dropout=0.0):
+    """``presence_dropout`` applies to TRAIN tracks only — val sequences are
+    scored per-frame against groundtruth and must keep the target visible."""
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
@@ -183,7 +201,7 @@ def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224
     for t in range(tracks):
         rows += generate_track(rng, img_dir, f"track{t:04d}", frames, size=size,
                                appearance_drift=appearance_drift, scenario=scenario,
-                               obj_scale=obj_scale)
+                               obj_scale=obj_scale, presence_dropout=presence_dropout)
     df = pd.DataFrame(rows)
     df["img_path"] = "images/" + df["img_path"]
     csv_path = os.path.join(root, "train.csv")
@@ -231,10 +249,14 @@ def main():
     p.add_argument("--obj_scale", type=float, default=1.0,
                    help="multiply object sizes/velocities (pair with size·k "
                    "for a k× resolution render of the same scene)")
+    p.add_argument("--presence_dropout", type=float, default=0.0,
+                   help="per-frame probability a train frame omits the target "
+                   "(presence=0 negative rows; val sequences unaffected)")
     args = p.parse_args()
     csv_path = generate(args.root, args.tracks, args.frames, args.val_sequences, args.seed,
                     size=(args.height, args.width), appearance_drift=args.appearance_drift,
-                    scenario=args.scenario, obj_scale=args.obj_scale)
+                    scenario=args.scenario, obj_scale=args.obj_scale,
+                    presence_dropout=args.presence_dropout)
     print(f"wrote {csv_path} + val sequences under {args.root}/got10k/val")
 
 
