@@ -100,6 +100,12 @@ class BestWorstMiner:
         self.worst_mosaic: Optional[np.ndarray] = None
 
     def update(self, score: float, batch: Dict[str, Any], outputs: Dict[str, Any]) -> None:
+        # a NaN-loss batch must not crash the epoch (int(NaN) in the mosaic
+        # renderer) — and a NaN score is meaningless for best/worst mining
+        if not np.isfinite(score) or not np.all(
+            np.isfinite(np.asarray(outputs[C.TARGET_REGRESSION_LABEL_KEY]))
+        ):
+            return
         better = self.best_score is None or (
             score < self.best_score if self.metric_mode == "min" else score > self.best_score
         )

@@ -185,6 +185,7 @@ class Trainer:
             dual_template=bool(config.get("dual_template", False)),
             device_augs=self.device_augs_cfg,
             aug_seed=int(config.get("seed", 0)),
+            guard_non_finite=int(opt_cfg.get("skip_non_finite", 0)) > 0,
         )
 
         bs = config.get("batch_size", 32)

@@ -56,6 +56,14 @@ def build_optimizer(config: Optional[Dict[str, Any]] = None) -> optax.GradientTr
     clip = float(config.get("gradient_clip_val", 0.0))
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    # skip (not zero) updates whose gradients carry NaN/Inf — a single bad
+    # batch must not poison Adam moments hours into a long run (the round-4
+    # flagship run NaN'd at epoch 8 and never recovered). apply_if_finite
+    # keeps params AND optimizer state untouched on a non-finite step and
+    # raises only after `max_consecutive_errors` such steps in a row.
+    skip = int(config.get("skip_non_finite", 0))
+    if skip > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip)
     return tx
 
 

@@ -86,6 +86,7 @@ def make_train_step(
     dual_template: bool = False,
     device_augs: Optional[Any] = None,
     aug_seed: int = 0,
+    guard_non_finite: bool = False,
 ):
     """Build the jitted train step. With ``mesh`` the step is shard_map-ed
     over the ``data`` axis (model must be built with
@@ -146,6 +147,18 @@ def make_train_step(
             # via bn_axis_name, but per-shard rounding can drift: pin exact
             # replication with one more pmean (cheap; stats are tiny).
             new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        if guard_non_finite:
+            # the optimizer side is covered by optax.apply_if_finite; BN
+            # running stats mutate in the forward pass and need the same
+            # protection — a NaN batch must not poison them either
+            stats_ok = jnp.all(
+                jnp.asarray(
+                    [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree_util.tree_leaves(new_stats)]
+                )
+            ) & jnp.isfinite(total)
+            new_stats = jax.tree.map(
+                lambda new, old: jnp.where(stats_ok, new, old), new_stats, state.batch_stats
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)

@@ -272,3 +272,47 @@ def test_dual_template_train_step():
         state, m = step(state, batch)
     assert float(m["loss"]) < float(m0["loss"])
     assert float(np.asarray(state.params["template_gate"])[0]) != gate0
+
+
+def test_non_finite_batch_is_skipped_entirely():
+    """The round-5 flagship robustness contract: a NaN batch must leave
+    params, Adam moments AND BatchNorm running stats untouched, and the next
+    finite batch must train normally (the round-4 flagship run NaN'd at epoch
+    8 and never recovered — benchmarks/raw_round5/flagship.log)."""
+    model = tiny_model()
+    tx = build_optimizer(
+        {"name": "adam", "lr": 1e-3, "gradient_clip_val": 1.0, "skip_non_finite": 10}
+    )
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3), (1, 64, 64, 3)
+    )
+    step = make_train_step(model, tx, spec=SPEC, guard_non_finite=True)
+
+    rng = np.random.RandomState(3)
+    good = _toy_batch(rng, 2, SPEC)
+    bad = {k: np.array(v) for k, v in good.items()}
+    bad[C.TRACKER_TARGET_SEARCH_IMAGE_KEY] = np.full_like(
+        bad[C.TRACKER_TARGET_SEARCH_IMAGE_KEY], np.nan
+    )
+
+    state1, out1 = step(state, bad)
+    assert not np.isfinite(float(out1["loss"]))  # the loss itself reports NaN
+    # ... but nothing in the carried state absorbed it
+    for a, b in zip(
+        jax.tree_util.tree_leaves((state.params, state.batch_stats)),
+        jax.tree_util.tree_leaves((state1.params, state1.batch_stats)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state1.step) == int(state.step) + 1
+
+    state2, out2 = step(state1, good)
+    assert np.isfinite(float(out2["loss"]))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state1.params),
+            jax.tree_util.tree_leaves(state2.params),
+        )
+    )
+    for leaf in jax.tree_util.tree_leaves((state2.params, state2.batch_stats)):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -109,7 +109,12 @@ def build_config(root: str, exp: str, platform: str, args, pretrained: str):
             "template_size": 128, "penalty_k": 0.062, "window_influence": 0.38,
             "lr": 0.765, "template_bbox_offset": 0.2, "search_context": 2,
         },
-        "optimizer": {"name": "adam", "lr": args.lr},
+        # clip + skip-non-finite: the first full-length run NaN'd at epoch 8
+        # (loss spike -> poisoned Adam moments -> unrecoverable); global-norm
+        # clipping bounds the update and apply_if_finite skips any residual
+        # bad step instead of absorbing it (benchmarks/raw_round5/flagship.log)
+        "optimizer": {"name": "adam", "lr": args.lr,
+                      "gradient_clip_val": 1.0, "skip_non_finite": 100},
         "scheduler": {"mode": "max", "patience": 5, "factor": 0.5, "min_lr": 1e-5},
         "loss": {"coeffs": {"TARGET_CLASSIFICATION_KEY": 1, "TARGET_REGRESSION_LABEL_KEY": 1}},
         "batch_size": {"train": args.batch, "val": 1},
