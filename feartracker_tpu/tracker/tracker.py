@@ -54,6 +54,10 @@ class FEARTracker:
         native_preprocess: bool = False,
         recover_context: float = 0.0,
         recover_threshold: float = None,
+        dynamic_template: bool = False,
+        update_threshold: float = 0.85,
+        update_rate: float = 0.1,
+        update_interval: int = 1,
     ):
         self.model = model
         self.variables = variables
@@ -71,6 +75,25 @@ class FEARTracker:
             else float(recover_threshold)
         )
         self.last_confidence: float = 1.0
+        # host twin of ScanTracker's dual-template EMA update (runtime.py
+        # refresh(): candidate = template-geometry crop features at the
+        # predicted bbox; dyn <- (1-r)·dyn + r·cand when confidence clears
+        # update_threshold, every update_interval-th frame). Lets the VOT
+        # supervised protocol — a host sequential protocol — evaluate the
+        # dual template under re-inits (VERDICT r4 #3).
+        self.dynamic_template = bool(dynamic_template)
+        self.update_threshold = float(update_threshold)
+        self.update_rate = float(update_rate)
+        if update_interval < 1:
+            raise ValueError(f"update_interval must be >= 1, got {update_interval}")
+        self.update_interval = int(update_interval)
+        self._dyn_features: Optional[jnp.ndarray] = None
+        self._frame_count = 0
+        if dynamic_template and native_preprocess:
+            raise ValueError(
+                "dynamic_template is implemented on the cv2 preprocess path; "
+                "combine it with native_preprocess=False"
+            )
         if native_preprocess:
             from feartracker_tpu import native
 
@@ -103,6 +126,23 @@ class FEARTracker:
             )
             return res.bbox[0], res.confidence[0]
 
+        # dual-template variant: the dynamic template rides the cls branch
+        # via the update hook (ref: blocks.py:174-179)
+        @jax.jit
+        def _step_dual(variables, crop_u8: jnp.ndarray, feats: jnp.ndarray,
+                       update_feats: jnp.ndarray, prev_size: jnp.ndarray):
+            x = _normalize(crop_u8)[None]
+            out = self.model.apply(
+                variables, x, feats, update_feats, method=self.model.track
+            )
+            res = pp.postprocess(
+                out[TARGET_CLASSIFICATION_KEY],
+                out[TARGET_REGRESSION_LABEL_KEY],
+                self.config.postprocess,
+                prev_size=prev_size[None],
+            )
+            return res.bbox[0], res.confidence[0]
+
         # pre-normalized variants for the native C++ preprocessing path
         @jax.jit
         def _features_pre(variables, crop_norm: jnp.ndarray) -> jnp.ndarray:
@@ -121,10 +161,12 @@ class FEARTracker:
 
         self._features_fn = partial(_features, self.variables)
         self._step_fn = partial(_step, self.variables)
+        self._step_dual_fn = partial(_step_dual, self.variables)
         self._features_pre_fn = partial(_features_pre, self.variables)
         self._step_pre_fn = partial(_step_pre, self.variables)
         self._features_raw = _features
         self._step_raw = _step
+        self._step_dual_raw = _step_dual
         self._features_pre_raw = _features_pre
         self._step_pre_raw = _step_pre
 
@@ -133,6 +175,7 @@ class FEARTracker:
         self.variables = variables
         self._features_fn = partial(self._features_raw, variables)
         self._step_fn = partial(self._step_raw, variables)
+        self._step_dual_fn = partial(self._step_dual_raw, variables)
         self._features_pre_fn = partial(self._features_pre_raw, variables)
         self._step_pre_fn = partial(self._step_pre_raw, variables)
         self.reset()
@@ -152,6 +195,8 @@ class FEARTracker:
 
     def reset(self) -> None:
         self._template_features = None
+        self._dyn_features = None
+        self._frame_count = 0
 
     def initialize(self, image: np.ndarray, rect: np.ndarray) -> None:
         """(ref: fear_tracker.py:17-44)"""
@@ -174,6 +219,8 @@ class FEARTracker:
                 crop_size=self.config.template_size,
             )
             self._template_features = self._features_fn(jnp.asarray(template_crop))
+        self._dyn_features = self._template_features
+        self._frame_count = 0
 
     def update(self, image: np.ndarray) -> Dict[str, Any]:
         """(ref: fear_tracker.py:46-67)"""
@@ -208,14 +255,39 @@ class FEARTracker:
                 padding_value=self.mean_color,
             )
             self.prev_size = search_bbox[2:]
-            crop_bbox, confidence = self._step_fn(
-                jnp.asarray(search_crop),
-                self._template_features,
-                jnp.asarray(self.prev_size, jnp.float32),
-            )
+            if self.dynamic_template:
+                crop_bbox, confidence = self._step_dual_fn(
+                    jnp.asarray(search_crop),
+                    self._template_features,
+                    self._dyn_features,
+                    jnp.asarray(self.prev_size, jnp.float32),
+                )
+            else:
+                crop_bbox, confidence = self._step_fn(
+                    jnp.asarray(search_crop),
+                    self._template_features,
+                    jnp.asarray(self.prev_size, jnp.float32),
+                )
         pred = rescale_crop_bbox(np.asarray(crop_bbox), window, self.config.instance_size)
         pred = clamp_bbox(pred, image.shape)
         self.bbox = pred
         self.paths.append(pred)
         self.last_confidence = float(confidence)
+        self._frame_count += 1
+        if (
+            self.dynamic_template
+            and not self.native_preprocess
+            and float(confidence) > self.update_threshold
+            and self._frame_count % self.update_interval == 0
+        ):
+            cand_crop, _, _ = get_extended_crop(
+                image=image,
+                bbox=pred,
+                offset=self.config.template_bbox_offset,
+                crop_size=self.config.template_size,
+            )
+            cand = self._features_fn(jnp.asarray(cand_crop))
+            self._dyn_features = (
+                (1.0 - self.update_rate) * self._dyn_features + self.update_rate * cand
+            )
         return {"bbox": pred, "confidence": float(confidence)}

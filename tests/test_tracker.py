@@ -159,3 +159,97 @@ def test_host_tracker_recovery_widens_context():
 
     with pytest.raises(ValueError):
         FEARTracker(model, variables, cfg, recover_context=-1.0)
+
+
+@needs_assets
+def test_second_footage_trajectory_matches_reference():
+    """Second parity clip (VERDICT r4 #6): the bit-parity story previously
+    rode ONE 660-frame video. This golden is the reference tracker's own
+    trajectory (tools/reference_oracle.py --footage synthetic) on a
+    deterministic synthetic pose-morph scene with different motion/scale
+    statistics (out-of-plane rotation, foreshortening, shading,
+    distractors); frames regenerate bit-identically from the committed
+    generator + the spec stored in the golden."""
+    from tools.reference_oracle import synthetic_video
+
+    from feartracker_tpu.convert.fear_weights import load_fear_xs
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    golden = json.load(
+        open(os.path.join(GOLDEN_DIR, "reference_trajectory_synthetic.json"))
+    )
+    frames, init_bbox = synthetic_video(golden["synth_spec"])
+    assert init_bbox == golden["initial_bbox"]
+
+    n_updates = 40  # prefix, like the assets-clip test (full clip: 119)
+    tracker = FEARTracker(FEARNet(), load_fear_xs(TRACKER_ML))
+    tracker.initialize(frames[0], np.array(init_bbox))
+    boxes = [list(map(int, tracker.update(frames[i])["bbox"]))
+             for i in range(1, n_updates + 1)]
+    np.testing.assert_array_equal(
+        np.asarray(boxes), np.asarray(golden["boxes"][:n_updates])
+    )
+
+
+def test_host_dual_template_ema_updates():
+    """Host twin of ScanTracker's dual-template EMA (VERDICT r4 #3 machinery):
+    the dynamic template starts equal to the static one, blends toward the
+    per-frame candidate when confidence clears the gate, and the tracker
+    still emits in-frame boxes. Tiny random-weight model — this pins the
+    update mechanics, not quality."""
+    import jax
+    import jax.numpy as jnp
+
+    from feartracker_tpu.models.fbnet import IRBlockSpec
+    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.tracker.config import TrackerConfig
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    trunk = (IRBlockSpec(1, 3, 1, 8), IRBlockSpec(2, 3, 2, 12), IRBlockSpec(2, 5, 2, 16))
+    model = FEARNet(trunk_blocks=trunk, adjust_channels=32, towernum=1)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 64, 64, 3))),
+        train=False,
+    )
+    cfg = TrackerConfig(score_size=8, total_stride=8, instance_size=64, template_size=32)
+    tracker = FEARTracker(
+        model, variables, cfg, dynamic_template=True,
+        update_threshold=-1.0,  # always update: this tests the EMA mechanics
+        update_rate=0.5, update_interval=2,
+    )
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (5, 96, 128, 3)).astype(np.uint8)
+    tracker.initialize(frames[0], np.array([40, 30, 30, 24]))
+    assert np.array_equal(
+        np.asarray(tracker._dyn_features), np.asarray(tracker._template_features)
+    )
+    r1 = tracker.update(frames[1])  # frame 1: interval 2 -> no refresh yet
+    assert np.array_equal(
+        np.asarray(tracker._dyn_features), np.asarray(tracker._template_features)
+    )
+    r2 = tracker.update(frames[2])  # frame 2: refresh fires
+    assert not np.array_equal(
+        np.asarray(tracker._dyn_features), np.asarray(tracker._template_features)
+    )
+    for r in (r1, r2):
+        x, y, w, h = r["bbox"]
+        assert w > 0 and h > 0 and x >= 0 and y >= 0
+        assert x + w <= 128 and y + h <= 96
+
+    # a high gate must block updates
+    gated = FEARTracker(
+        model, variables, cfg, dynamic_template=True,
+        update_threshold=2.0, update_rate=0.5, update_interval=1,
+    )
+    gated.initialize(frames[0], np.array([40, 30, 30, 24]))
+    gated.update(frames[1])
+    assert np.array_equal(
+        np.asarray(gated._dyn_features), np.asarray(gated._template_features)
+    )
+
+    with pytest.raises(ValueError):
+        FEARTracker(model, variables, cfg, dynamic_template=True, native_preprocess=True)
+    with pytest.raises(ValueError):
+        FEARTracker(model, variables, cfg, dynamic_template=True, update_interval=0)

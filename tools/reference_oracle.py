@@ -190,7 +190,38 @@ class MLModelNet:
         }
 
 
-def run_oracle(max_frames: int, smooth: bool, bbox=DEFAULT_BBOX):
+# Second parity footage (VERDICT r4 #6): a synthetic pose-morph sequence with
+# motion/scale statistics unlike assets/test.mp4 (out-of-plane rotation,
+# foreshortening, shading, distractors). Rendered deterministically from
+# committed code + this spec, so the test regenerates identical pixels
+# instead of committing frames.
+SYNTH_SPEC = dict(
+    scenario="pose", appearance_drift=0.5, seed=21, size=(240, 320),
+    obj_scale=1.2, n_frames=120,
+)
+
+
+def synthetic_video(spec=None):
+    """(frames list RGB uint8, initial gt bbox) for the second parity clip."""
+    import tempfile
+
+    sys.path.insert(0, "/root/repo")
+    from tools.make_synthetic_dataset import generate_track
+
+    from feartracker_tpu.data.dataset import read_img
+
+    spec = dict(SYNTH_SPEC if spec is None else spec)
+    rng = np.random.RandomState(spec.pop("seed"))
+    n_frames = spec.pop("n_frames")
+    out_dir = tempfile.mkdtemp(prefix="parity_clip_")
+    rows = generate_track(rng, out_dir, "parity", n_frames, **spec)
+    frames = [read_img(f"{out_dir}/{r['img_path']}") for r in rows]
+    import ast
+
+    return frames, [int(v) for v in ast.literal_eval(str(rows[0]["bbox"]))]
+
+
+def run_oracle(max_frames: int, smooth: bool, bbox=DEFAULT_BBOX, footage="assets"):
     sys.path.insert(0, "/root/repo")
     from feartracker_tpu.utils.video import read_video
 
@@ -200,31 +231,40 @@ def run_oracle(max_frames: int, smooth: bool, bbox=DEFAULT_BBOX):
         config["smooth"] = True
     tracker = fear_mod.FEARTracker(MLModelNet(), cuda_id="cpu", **config)
 
-    video = read_video(VIDEO, max_frames=max_frames)
+    if footage == "synthetic":
+        video, bbox = synthetic_video()
+        video = video[:max_frames]
+    else:
+        video = read_video(VIDEO, max_frames=max_frames)
     tracker.initialize(video[0], np.array(bbox))
     boxes = []
     for i in range(1, len(video)):
         boxes.append([int(v) for v in tracker.update(video[i])["bbox"]])
-    return boxes
+    return boxes, bbox
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max_frames", type=int, default=661)
     ap.add_argument("--smooth", action="store_true")
+    ap.add_argument("--footage", default="assets", choices=["assets", "synthetic"],
+                    help="'synthetic' = the deterministic second parity clip "
+                    "(SYNTH_SPEC pose-morph scene)")
     ap.add_argument("--out", default="tests/golden/reference_trajectory.json")
     args = ap.parse_args()
 
-    boxes = run_oracle(args.max_frames, args.smooth)
+    boxes, init_bbox = run_oracle(args.max_frames, args.smooth, footage=args.footage)
     payload = {
-        "video": VIDEO,
-        "initial_bbox": DEFAULT_BBOX,
+        "video": VIDEO if args.footage == "assets" else "synthetic",
+        "initial_bbox": init_bbox,
         "smooth": args.smooth,
         "n_updates": len(boxes),
         "producer": "reference model_training.tracker.FEARTracker (importlib) "
         "+ CoreML-graph torch interpreter",
         "boxes": boxes,
     }
+    if args.footage == "synthetic":
+        payload["synth_spec"] = SYNTH_SPEC
     with open(args.out, "w") as f:
         json.dump(payload, f)
     print(f"wrote {args.out}: {len(boxes)} boxes, first={boxes[0]}, last={boxes[-1]}")
