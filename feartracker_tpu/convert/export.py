@@ -112,10 +112,17 @@ class ExportedTracker:
         t.model = t.variables = None
         t.bbox = t.mean_color = t.prev_size = None
         t._template_features = None
-        # recovery bookkeeping FEARTracker.__init__ would have set
+        # recovery + dual-template bookkeeping FEARTracker.__init__ would
+        # have set (the exported pair always runs the static-template graph)
         t.recover_context = 0.0
         t.recover_threshold = t.config.confidence_threshold
         t.last_confidence = 1.0
+        t.dynamic_template = False
+        t.update_threshold = 0.85
+        t.update_rate = 0.1
+        t.update_interval = 1
+        t._dyn_features = None
+        t._frame_count = 0
         from collections import deque
 
         t.paths = deque(maxlen=10)

@@ -22,11 +22,18 @@ def build_scan_tracker(
     weights_path: str = TRACKER_ML,
     dtype=None,
     postprocess_impl: str = "pallas",
+    model_name: str = "fear_xs",
+    towernum: int = 2,
     **tracker_kw,
 ):
-    """(ScanTracker, weights_provenance) — provenance is "fear_xs" or, when
-    the reference mount is unavailable, "random" (same compute, uncredited
-    numbers; see bench.py's JSON schema)."""
+    """(ScanTracker, weights_provenance) — provenance is "fear_xs" (the
+    recovered reference checkpoint), the basename of a custom weights file,
+    or "random" when nothing loads (same compute, uncredited numbers; see
+    bench.py's JSON schema). ``model_name`` selects a family trunk from
+    models/fbnet.TRUNKS (fear_m / fear_l quality evals ride their own
+    repo-trained weights — there is no reference fallback for them)."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -34,17 +41,31 @@ def build_scan_tracker(
     from feartracker_tpu.tracker.runtime import ScanTracker
 
     dtype = jnp.bfloat16 if dtype is None else dtype
-    model = FEARNet(dtype=dtype)
-    provenance = "fear_xs"
     # fall back from the requested source to the packaged standalone archive
     # (same recovered weights, tools/export_weights.py) before conceding to
     # random weights
     from feartracker_tpu.convert.load import PACKAGED_FEAR_XS, load_variables
 
+    if model_name == "fear_xs":
+        model = FEARNet(dtype=dtype, towernum=towernum)
+        candidates = (weights_path, PACKAGED_FEAR_XS)
+    else:
+        from feartracker_tpu.models.fbnet import TRUNKS
+
+        model = FEARNet(trunk_blocks=TRUNKS[model_name], towernum=towernum, dtype=dtype)
+        # the recovered reference checkpoint is XS-shaped — family models only
+        # load weights the caller explicitly provides (else: random init)
+        candidates = () if weights_path == TRACKER_ML else (weights_path,)
+        err = ValueError(f"no weights provided for {model_name}")
+
     variables = None
-    for candidate in (weights_path, PACKAGED_FEAR_XS):
+    for candidate in candidates:
         try:
             variables = load_variables(candidate)
+            provenance = (
+                "fear_xs" if candidate in (TRACKER_ML, PACKAGED_FEAR_XS)
+                else os.path.basename(candidate)
+            )
             break
         except Exception as e:
             err = e

@@ -39,6 +39,8 @@ class ShardedScanTracker(ScanTracker):
         self._chunk_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
         self._replicated = NamedSharding(mesh, P())
         self.variables = jax.device_put(self.variables, self._replicated)
+        if self._gate is not None:
+            self._gate = jax.device_put(self._gate, self._replicated)
 
     def _shard_state(self, state: StreamState) -> StreamState:
         return jax.tree.map(lambda x: jax.device_put(x, self._stream_sharding), state)
@@ -74,7 +76,7 @@ class ShardedScanTracker(ScanTracker):
         idx = None
         if step_index is not None:
             idx = jax.numpy.asarray(step_index, jax.numpy.int32)
-        return self._step_jit(self.variables, self._folded, state, frames, idx)
+        return self._step_jit(self.variables, self._folded, self._gate, state, frames, idx)
 
     def track(self, state: StreamState, frames, start_step: int = 0):
         frames = jax.numpy.asarray(frames)
@@ -83,6 +85,6 @@ class ShardedScanTracker(ScanTracker):
             self._replicated if frames.ndim == 4 else self._chunk_sharding,
         )
         return self._track_jit(
-            self.variables, self._folded, state, frames,
+            self.variables, self._folded, self._gate, state, frames,
             jax.numpy.asarray(start_step, jax.numpy.int32),
         )

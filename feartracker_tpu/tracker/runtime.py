@@ -70,6 +70,7 @@ class ScanTracker:
         update_rate: float = 0.1,
         update_mode: str = "ema",
         update_interval: int = 1,
+        gate_params: Any = None,
         dtype: jnp.dtype = jnp.float32,
         crop_impl: str = "mm",
         postprocess_impl: str = "xla",
@@ -103,9 +104,28 @@ class ScanTracker:
         # zero-fill template_gate (convert/fear_weights.py) — with those, the
         # "gated" blend is the untrained sigmoid(0)=0.5; a trained gate comes
         # from tools/train_template_gate.py (fear_xs_gate.npz)
-        if update_mode not in ("ema", "gated"):
-            raise ValueError(f"update_mode must be 'ema' or 'gated', got {update_mode!r}")
+        # "feature": gate v2 — a tiny learned MLP over the per-frame
+        # observables (confidence, APCE, candidate similarity, bbox
+        # stability; models/gate.py) sets the per-stream EMA rate each frame:
+        # rate = sigmoid(MLP(obs)) · update_rate. No hard confidence
+        # threshold in this mode — the gate subsumes it. Weights come from
+        # tools/train_feature_gate.py (gate_params / a .npz path).
+        if update_mode not in ("ema", "gated", "feature"):
+            raise ValueError(
+                f"update_mode must be 'ema', 'gated' or 'feature', got {update_mode!r}"
+            )
         self.update_mode = update_mode
+        self._gate = None
+        if update_mode == "feature":
+            from feartracker_tpu.models.gate import load_gate
+
+            if gate_params is None:
+                raise ValueError("update_mode='feature' requires gate_params")
+            if isinstance(gate_params, str):
+                gate_params = load_gate(gate_params)
+            self._gate = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), gate_params)
+        elif gate_params is not None:
+            raise ValueError("gate_params is only meaningful with update_mode='feature'")
         # consider a template refresh only every K-th scanned frame: the
         # candidate-encoder pass is the dual-template mode's entire overhead
         # (~30% of the step), and `lax.cond` on the scalar frame index
@@ -142,7 +162,7 @@ class ScanTracker:
         # ``state, out = tracker.track(state, ...)``) — ~5% step time saved
         self._init_jit = jax.jit(self._init_impl)
         self._step_jit = jax.jit(self._step_impl)
-        self._track_jit = jax.jit(self._track_impl, donate_argnums=(2,))
+        self._track_jit = jax.jit(self._track_impl, donate_argnums=(3,))
 
     def _fold(self):
         from feartracker_tpu.ops.fused_trunk import fold_fear_net
@@ -214,7 +234,7 @@ class ScanTracker:
         )
 
     def _step_impl(
-        self, variables, folded, state: StreamState, frames: jnp.ndarray, step_index=None
+        self, variables, folded, gate, state: StreamState, frames: jnp.ndarray, step_index=None
     ) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         cfg = self.config
         frames = self._broadcast_shared(frames, state.bbox.shape[0])
@@ -273,24 +293,45 @@ class ScanTracker:
         apce = pp.apce(score)
 
         dyn = state.dyn_feats
+        gate_obs = None
         if self.dynamic_template:
+            from feartracker_tpu.models.gate import (
+                N_OBS,
+                gate_observables,
+                gate_rate,
+            )
 
             def refresh(dyn):
                 cand = self._template_features(variables, folded, frames, bbox, state.mean_color)
-                gate = (res.confidence > self.update_threshold)[:, None, None, None]
+                # per-frame observables (models/gate.py contract) — emitted
+                # for the gate-training collector and consumed by gate v2
+                obs = gate_observables(
+                    res.confidence, apce, cand, state.template_feats, dyn,
+                    bbox, state.bbox,
+                )
+                if self.update_mode == "feature":
+                    # gate v2: learned per-stream EMA rate, no hard threshold
+                    r = (gate_rate(gate, obs) * self.update_rate)[
+                        :, None, None, None
+                    ].astype(dyn.dtype)
+                    return (1.0 - r) * dyn + r * cand, obs
+                ok = (res.confidence > self.update_threshold)[:, None, None, None]
                 if self.update_mode == "gated":
                     g = jax.nn.sigmoid(variables["params"]["template_gate"]).astype(dyn.dtype)
                     blended = (1.0 - g) * state.template_feats + g * cand
                 else:
                     blended = (1.0 - self.update_rate) * dyn + self.update_rate * cand
-                return jnp.where(gate, blended, dyn)
+                return jnp.where(ok, blended, dyn), obs
 
             if step_index is not None and self.update_interval > 1:
-                dyn = jax.lax.cond(
-                    step_index % self.update_interval == 0, refresh, lambda d: d, dyn
+                dyn, gate_obs = jax.lax.cond(
+                    step_index % self.update_interval == 0,
+                    refresh,
+                    lambda d: (d, jnp.zeros((d.shape[0], N_OBS), jnp.float32)),
+                    dyn,
                 )
             else:
-                dyn = refresh(dyn)
+                dyn, gate_obs = refresh(dyn)
 
         new_state = StreamState(
             template_feats=state.template_feats,
@@ -305,9 +346,11 @@ class ScanTracker:
             "apce": apce,
             "failure": res.confidence < cfg.confidence_threshold,
         }
+        if gate_obs is not None:
+            outputs["gate_obs"] = gate_obs
         return new_state, outputs
 
-    def _track_impl(self, variables, folded, state: StreamState, frames: jnp.ndarray, start_step=0):
+    def _track_impl(self, variables, folded, gate, state: StreamState, frames: jnp.ndarray, start_step=0):
         """frames: (T, S, H, W, 3) or shared (T, H, W, 3) → (state, outputs
         stacked over T).
 
@@ -315,7 +358,7 @@ class ScanTracker:
         ``update_interval`` cadence across chunked track() calls."""
         idx = jnp.arange(frames.shape[0]) + start_step
         return jax.lax.scan(
-            lambda c, ft: self._step_impl(variables, folded, c, ft[0], ft[1]),
+            lambda c, ft: self._step_impl(variables, folded, gate, c, ft[0], ft[1]),
             state, (frames, idx), unroll=self.scan_unroll,
         )
 
@@ -341,7 +384,7 @@ class ScanTracker:
         ``step_index`` (running frame count) paces the dual-template
         ``update_interval``; None = refresh-eligible on this frame."""
         idx = None if step_index is None else jnp.asarray(step_index, jnp.int32)
-        return self._step_jit(self.variables, self._folded, state, jnp.asarray(frames), idx)
+        return self._step_jit(self.variables, self._folded, self._gate, state, jnp.asarray(frames), idx)
 
     def track(self, state: StreamState, frames, start_step: int = 0) -> Tuple[StreamState, Dict[str, jnp.ndarray]]:
         """A chunk of frames (T, S, H, W, 3), scanned on device — or
@@ -358,6 +401,6 @@ class ScanTracker:
         Always rebind: ``state, out = tracker.track(state, frames)``.
         """
         return self._track_jit(
-            self.variables, self._folded, state, jnp.asarray(frames),
+            self.variables, self._folded, self._gate, state, jnp.asarray(frames),
             jnp.asarray(start_step, jnp.int32),
         )

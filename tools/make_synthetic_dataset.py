@@ -160,6 +160,11 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
                                 jitter, kind, angle=angle)
         else:
             bbox = _draw_object(img, rng, cxf, cyf, w_eff, oh * scale, jitter, kind, angle=angle)
+        # analytic per-frame visible fraction (cover oracle) — computed from
+        # the same geometry that is drawn, with NO extra rng draws, so every
+        # committed fixture's random stream is bit-unchanged. Supervises the
+        # feature-conditioned update gate (tools/train_feature_gate.py).
+        visible = 0.0 if absent else 1.0
         if scenario == "swap":
             # same-appearance distractor crossing the target at mid-track,
             # drawn on top: starts offset, meets the object at n/2, moves on
@@ -168,7 +173,13 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
             sy = cyf + (f - mid) * 1.5 * obj_scale
             if 0 <= sx < w and 0 <= sy < h:
                 _draw_object(img, rng, sx, sy, ow * scale, oh * scale, jitter, kind)
+                if not absent:
+                    dw, dh = ow * scale, oh * scale
+                    ox = max(0.0, min(bbox[0] + bbox[2], sx + dw / 2) - max(bbox[0], sx - dw / 2))
+                    oy = max(0.0, min(bbox[1] + bbox[3], sy + dh / 2) - max(bbox[1], sy - dh / 2))
+                    visible *= 1.0 - ox * oy / max(bbox[2] * bbox[3], 1.0)
         if scenario == "occlusion":
+            covered = []  # x-intervals of full-height bars over the bbox
             for bw_scale, ocolor, f_cross in occluders:
                 bar_w = int(ow * bw_scale)
                 # bar sweeps at 6 px/frame; positioned to cover the object
@@ -176,6 +187,21 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
                 bx = int(cxf + (f - f_cross) * 6.0 * obj_scale)
                 if -bar_w < bx < w + bar_w:
                     cv2.rectangle(img, (bx - bar_w // 2, 0), (bx + bar_w // 2, h), ocolor, -1)
+                    lo = max(float(bbox[0]), bx - bar_w // 2)
+                    hi = min(float(bbox[0] + bbox[2]), bx + bar_w // 2)
+                    if hi > lo:
+                        covered.append((lo, hi))
+            if not absent and covered:
+                covered.sort()
+                total, cur_lo, cur_hi = 0.0, *covered[0]
+                for lo, hi in covered[1:]:  # union of overlapping intervals
+                    if lo > cur_hi:
+                        total += cur_hi - cur_lo
+                        cur_lo, cur_hi = lo, hi
+                    else:
+                        cur_hi = max(cur_hi, hi)
+                total += cur_hi - cur_lo
+                visible *= 1.0 - total / max(float(bbox[2]), 1.0)
         path = f"{track_id}_f{f:04d}.jpg"
         cv2.imwrite(os.path.join(out_dir, path), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         near = int(bbox[0] <= 2 or bbox[1] <= 2 or bbox[0] + bbox[2] >= w - 2 or bbox[1] + bbox[3] >= h - 2)
@@ -184,6 +210,7 @@ def generate_track(rng, out_dir, track_id, n_frames, size=(160, 224), distractor
                 sequence_id=track_id, track_id=track_id, frame_index=f, img_path=path,
                 bbox=str(bbox), frame_shape=str([w, h]), dataset="synthetic",
                 presence=0 if absent else 1, near_corner=near,
+                visible=round(float(visible), 4),
             )
         )
     return rows
@@ -226,6 +253,10 @@ def generate(root, tracks=40, frames=24, val_sequences=8, seed=0, size=(160, 224
             gt.append(",".join(map(str, eval(r["bbox"]))))
         with open(os.path.join(seq_dir, "groundtruth.txt"), "w") as fh:
             fh.write("\n".join(gt))
+        # GOT-10k-native per-frame cover labels (0..8 visible-ratio bins) from
+        # the analytic visibility oracle — the gate-training supervision
+        with open(os.path.join(seq_dir, "cover.label"), "w") as fh:
+            fh.write("\n".join(str(int(round(r["visible"] * 8))) for r in vrows))
         names.append(seq)
     with open(os.path.join(val_base, "list.txt"), "w") as fh:
         fh.write("\n".join(names))

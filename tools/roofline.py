@@ -49,8 +49,8 @@ def main() -> None:
         frames0, chunk, bboxes = synthetic_streams(S, args.chunk)
         state = tracker.init(frames0, bboxes)
 
-        lowered = jax.jit(tracker._track_impl, donate_argnums=(2,)).lower(
-            tracker.variables, tracker._folded, state, chunk
+        lowered = jax.jit(tracker._track_impl, donate_argnums=(3,)).lower(
+            tracker.variables, tracker._folded, tracker._gate, state, chunk
         )
         compiled = lowered.compile()
         ca = compiled.cost_analysis()

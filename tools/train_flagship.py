@@ -101,7 +101,7 @@ def build_config(root: str, exp: str, platform: str, args, pretrained: str):
         "precision": "bfloat16",
         "seed": args.seed,
         "model": {
-            "name": "fear_xs", "adjust_channels": 256, "towernum": 2,
+            "name": args.model, "adjust_channels": 256, "towernum": args.towernum,
             "pretrained_weights": pretrained,
         },
         "tracker": {
@@ -163,7 +163,8 @@ def export_npz(state, out_path: str):
     save_npz(variables, out_path)
 
 
-def quality_gate_eval(weights_path: str, label: str):
+def quality_gate_eval(weights_path: str, label: str, model_name: str = "fear_xs",
+                      towernum: int = 2):
     """The test_quality_gate.py protocol, run standalone: sequential +
     batched-letterboxed AO on the held-out drift suite (seed 3)."""
     from tools.make_synthetic_dataset import generate
@@ -178,7 +179,8 @@ def quality_gate_eval(weights_path: str, label: str):
     generate(root, tracks=1, frames=12, val_sequences=3, seed=3,
              scenario="drift", appearance_drift=0.5)
     ds = GOT10kDataset(os.path.join(root, "got10k"), subset="val")
-    scan, provenance = build_scan_tracker(weights_path=weights_path)
+    scan, provenance = build_scan_tracker(
+        weights_path=weights_path, model_name=model_name, towernum=towernum)
     seq = evaluate_tracker(FEARTracker(scan.model, scan.variables), ds)
     bat = batched_evaluate(scan, ds, streams=3, frame_hw=(120, 168))
     rec = {"gate": label, "weights": weights_path, "provenance": provenance,
@@ -192,8 +194,20 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", default="/tmp/flagship_corpus")
     ap.add_argument("--exp", default="/tmp/flagship_exp")
-    ap.add_argument("--out", default="feartracker_tpu/weights/fear_xs_repo.npz")
+    ap.add_argument("--out", default=None,
+                    help="default: feartracker_tpu/weights/<model>_repo.npz")
     ap.add_argument("--platform", default="", help='"" = default backend (TPU)')
+    # model FAMILY training (VERDICT r4 #2): same corpus, same recipe, the
+    # fear_m / fear_l trunks; --warm_start transfers a trained XS checkpoint
+    # via the non-strict partial loader (measured: XS→M warm start pays,
+    # BENCHMARKS.md "Model family")
+    ap.add_argument("--model", default="fear_xs",
+                    choices=["fear_xs", "fear_m", "fear_l"])
+    ap.add_argument("--towernum", type=int, default=None,
+                    help="default: 2 (xs/m), 3 (l)")
+    ap.add_argument("--warm_start", default=None,
+                    help="npz checkpoint to transfer from (replaces the "
+                    "classification pretrain stage)")
     ap.add_argument("--epochs", type=int, default=110)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=32)
@@ -215,6 +229,11 @@ def main():
         args.epochs, args.num_samples, args.tracks = 1, 16, 3
         args.frames, args.per_class, args.pretrain_epochs = 8, 8, 1
 
+    if args.towernum is None:
+        args.towernum = 3 if args.model == "fear_l" else 2
+    if args.out is None:
+        args.out = f"feartracker_tpu/weights/{args.model}_repo.npz"
+
     if args.platform:
         import jax
 
@@ -226,8 +245,18 @@ def main():
                       "scenarios": [n for n, _ in SCENARIOS],
                       "gen_s": round(time.time() - t0, 1)}), flush=True)
 
-    # classification pretraining (reuse across resumes)
-    npz = args.pretrain_npz or os.path.join(args.root, "fear_xs_trunk.npz")
+    # initialization: an explicit warm start (family runs transfer the
+    # trained XS flagship) or classification pretraining (reused across
+    # resumes)
+    if args.warm_start:
+        npz = args.warm_start
+        if not os.path.exists(npz):
+            raise SystemExit(f"--warm_start {npz} does not exist")
+    else:
+        npz = args.pretrain_npz or os.path.join(args.root, f"{args.model}_trunk.npz")
+        if args.model == "fear_xs" and not os.path.exists(npz):
+            legacy = os.path.join(args.root, "fear_xs_trunk.npz")
+            npz = legacy if os.path.exists(legacy) else npz
     if not os.path.exists(npz):
         from tools.make_class_dataset import generate_classes
         from tools.pretrain_trunk import train as pretrain
@@ -235,7 +264,7 @@ def main():
         cls_root = os.path.join(args.root, "cls")
         if not os.path.exists(cls_root):
             generate_classes(cls_root, per_class=args.per_class, seed=args.seed)
-        rec = pretrain(cls_root, "fear_xs", npz, epochs=args.pretrain_epochs,
+        rec = pretrain(cls_root, args.model, npz, epochs=args.pretrain_epochs,
                        batch_size=args.batch, image_size=128, seed=args.seed)
         print(json.dumps({"pretrain_final": rec["history"][-1],
                           "arrays": rec["arrays"]}), flush=True)
@@ -282,8 +311,10 @@ def main():
     print(json.dumps({"exported": args.out,
                       "mb": round(os.path.getsize(args.out) / 2**20, 1)}), flush=True)
 
-    # side-by-side quality-gate scoring
-    repo = quality_gate_eval(args.out, "repo_trained")
+    # side-by-side quality-gate scoring (the reference yardstick is always
+    # its recovered FEAR-XS — for fear_m/fear_l that's the cross-family bar)
+    repo = quality_gate_eval(args.out, "repo_trained",
+                             model_name=args.model, towernum=args.towernum)
     ref = quality_gate_eval("fear_xs", "recovered_reference")
     print(json.dumps({
         "summary": {
