@@ -120,8 +120,9 @@ def build_config(root: str, exp: str, platform: str, args, pretrained: str):
         "batch_size": {"train": args.batch, "val": 1},
         "num_workers": 2,
         "max_epochs": args.epochs,
-        "min_epochs": min(40, args.epochs),
-        "early_stopping": 18,
+        "min_epochs": (min(40, args.epochs) if args.min_epochs is None
+                       else args.min_epochs),
+        "early_stopping": args.early_stopping,
         "metric_mode": "max",
         "max_val_samples": 24,
         "val_batched": True,
@@ -209,6 +210,9 @@ def main():
                     help="npz checkpoint to transfer from (replaces the "
                     "classification pretrain stage)")
     ap.add_argument("--epochs", type=int, default=110)
+    ap.add_argument("--min_epochs", type=int, default=None,
+                    help="default: min(40, epochs)")
+    ap.add_argument("--early_stopping", type=int, default=18)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--num_samples", type=int, default=512, help="per scenario per epoch")
