@@ -192,3 +192,45 @@ def test_evaluate_vot_end_to_end(tmp_path):
     assert 0.0 < res["eao"] <= 1.0
     assert res["reliability_s100"] == pytest.approx(np.exp(-100 / 12))
     assert "seq0" in res["per_sequence"]
+
+
+def test_vot_unified_swap_regression(tmp_path):
+    """Supervised-protocol regression for the unified failure-handling study
+    (BENCHMARKS.md "Unified failure-handling study"): EMA@1 dual-template
+    updates must keep their identity-swap robustness win UNDER RE-INITS —
+    the full 5-seed result is −2.2 ± 0.6 failures/sequence vs static (CI
+    excludes zero). Mini protocol pinned here: seed 7, 4×48-frame swap
+    sequences, measured 2026-08-19 CPU: static 3 failures / EAO 0.689,
+    EMA@1 1 failure / EAO 0.749."""
+    import os
+    import tempfile
+
+    from tools.make_synthetic_dataset import generate
+
+    from feartracker_tpu.data.sequence import GOT10kDataset
+    from feartracker_tpu.evaluate.harness import build_scan_tracker
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    root = tempfile.mkdtemp(prefix="vot_swap_gate_")
+    generate(root, tracks=1, frames=48, val_sequences=4, seed=7,
+             scenario="swap")
+    ds = GOT10kDataset(os.path.join(root, "got10k"), subset="val")
+    scan, prov = build_scan_tracker()
+    if prov != "fear_xs":
+        pytest.skip("recovered FEAR-XS weights unavailable")
+
+    static = evaluate_vot(
+        FEARTracker(scan.model, scan.variables), ds, skip=5, burnin=10)
+    ema = evaluate_vot(
+        FEARTracker(scan.model, scan.variables, dynamic_template=True,
+                    update_threshold=0.85, update_rate=0.2,
+                    update_interval=1),
+        ds, skip=5, burnin=10)
+    assert ema["robustness_failures"] < static["robustness_failures"], (
+        f"EMA@1 lost its swap robustness win: "
+        f"ema={ema['robustness_failures']} static={static['robustness_failures']}"
+    )
+    assert ema["eao"] >= static["eao"] - 0.02, (
+        f"EMA@1 swap EAO regressed: ema={ema['eao']:.4f} "
+        f"static={static['eao']:.4f}"
+    )
