@@ -192,3 +192,23 @@ def test_generator_visibility_oracle(tmp_path):
     seq = dr / "got10k" / "val" / "GOT-10k_Val_000000"
     cover = np.array([int(x) for x in (seq / "cover.label").read_text().split()])
     assert (cover == 8).all()
+
+
+def test_trained_gate_artifact_discriminates():
+    """Pins the SHIPPED trained gate (weights/fear_xs_feature_gate.npz,
+    tools/train_feature_gate.py: holdout AUC 0.92): canonical clean-tracking
+    observables must open the gate, canonical occlusion observables must
+    close it. Measured 2026-08-19: clean 0.977, occluded 0.007."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "feartracker_tpu", "weights", "fear_xs_feature_gate.npz")
+    if not os.path.exists(path):
+        pytest.skip("trained feature gate artifact unavailable")
+    params = load_gate(path)
+    # [confidence, log1p(apce)/4, sim_static, sim_dyn, log_size_ratio,
+    #  center_shift] — see models/gate.py OBS_FEATURES
+    clean = [0.95, np.log1p(30.0) / 4, 0.85, 0.90, 0.0, 0.05]
+    occluded = [0.55, np.log1p(5.0) / 4, 0.35, 0.40, -0.3, 0.8]
+    rates = np.asarray(gate_rate(params, jnp.asarray([clean, occluded], jnp.float32)))
+    assert rates[0] > 0.7, f"gate closed on clean tracking: {rates[0]:.3f}"
+    assert rates[1] < 0.2, f"gate open under occlusion: {rates[1]:.3f}"
