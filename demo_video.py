@@ -29,17 +29,17 @@ DEFAULT_WEIGHTS = default_weights_path()
 
 
 def get_tracker(weights_path: str, smooth: bool = False, platform: str = "",
-                recover_context: float = 0.0):
+                recover_context: float = 0.0, model_name: str = "fear_xs"):
     if platform:
         import jax
 
         jax.config.update("jax_platforms", platform)
     from feartracker_tpu.convert.load import load_variables
-    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.models.fear_net import build_family_model
     from feartracker_tpu.tracker.config import TrackerConfig
     from feartracker_tpu.tracker.tracker import FEARTracker
 
-    model = FEARNet()
+    model = build_family_model(model_name)
     variables = load_variables(weights_path)
     return FEARTracker(model, variables, TrackerConfig(smooth=smooth),
                        recover_context=recover_context)
@@ -55,7 +55,8 @@ def track(tracker, frames, initial_bbox: np.ndarray) -> List[np.ndarray]:
 
 
 def track_scan(weights_path, frames, initial_bboxes, smooth=False, dynamic_template=False,
-               update_interval=1, chunk=32, recover_context=0.0):
+               update_interval=1, chunk=32, recover_context=0.0,
+               model_name="fear_xs"):
     """One video, N objects, through the on-device scan runtime.
 
     ``initial_bboxes``: (N, 4) — one stream per object, the video shared by
@@ -63,13 +64,13 @@ def track_scan(weights_path, frames, initial_bboxes, smooth=False, dynamic_templ
     ScanTracker multi-object mode). Returns a list of (N, 4) boxes per frame.
     """
     from feartracker_tpu.convert.load import load_variables
-    from feartracker_tpu.models.fear_net import FEARNet
+    from feartracker_tpu.models.fear_net import build_family_model
     from feartracker_tpu.tracker.config import TrackerConfig
     from feartracker_tpu.tracker.runtime import ScanTracker
 
     single = np.asarray(initial_bboxes).ndim == 1
     boxes = np.atleast_2d(np.asarray(initial_bboxes, np.float32))
-    model = FEARNet()
+    model = build_family_model(model_name)
     tracker = ScanTracker(
         model, load_variables(weights_path), TrackerConfig(smooth=smooth),
         dynamic_template=dynamic_template,
@@ -94,6 +95,10 @@ def main() -> None:
     p.add_argument("--video_path", default="/root/reference/assets/test.mp4")
     p.add_argument("--output_path", default="outputs/test.mp4")
     p.add_argument("--weights_path", default=DEFAULT_WEIGHTS)
+    p.add_argument("--model", default="fear_xs",
+                   choices=["fear_tiny", "fear_xs", "fear_m", "fear_l"],
+                   help="family trunk to build — pair with matching zoo "
+                   "weights, e.g. --model fear_m --weights_path fear_m_repo")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--smooth", action="store_true", help="penalty-window decode + size smoothing")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
@@ -124,10 +129,12 @@ def main() -> None:
                             init_boxes if num_objects > 1 else init_boxes[0],
                             smooth=args.smooth, dynamic_template=args.dynamic_template,
                             update_interval=args.update_interval,
-                            recover_context=args.recover_context)
+                            recover_context=args.recover_context,
+                            model_name=args.model)
     else:
         tracker = get_tracker(args.weights_path, smooth=args.smooth,
-                              recover_context=args.recover_context)
+                              recover_context=args.recover_context,
+                              model_name=args.model)
         bboxes = track(tracker, frames, init_boxes[0])
 
     os.makedirs(os.path.dirname(args.output_path) or ".", exist_ok=True)

@@ -19,11 +19,31 @@ import jax
 import jax.numpy as jnp
 
 from feartracker_tpu.models.blocks import AdjustLayer, BoxTower
-from feartracker_tpu.models.fbnet import FBNetTrunk, FEAR_XS_TRUNK, IRBlockSpec
+from feartracker_tpu.models.fbnet import FBNetTrunk, FEAR_XS_TRUNK, IRBlockSpec, TRUNKS
 from feartracker_tpu.utils.constants import (
     TARGET_CLASSIFICATION_KEY,
     TARGET_REGRESSION_LABEL_KEY,
 )
+
+# canonical tower depth per family entry: fear_l pairs its wider trunk with a
+# deeper 3-conv BoxTower; everything else matches the reference's towernum=2
+# (ref: model_training/model/fear_net.py:33 box tower construction)
+FAMILY_TOWERNUM = {"fear_tiny": 2, "fear_xs": 2, "fear_m": 2, "fear_l": 3}
+
+
+def build_family_model(name: str = "fear_xs", dtype: Optional[jnp.dtype] = None,
+                       bn_axis_name: Optional[str] = None,
+                       towernum: Optional[int] = None) -> "FEARNet":
+    """Construct a zoo-family FEARNet (fear_tiny / fear_xs / fear_m / fear_l).
+
+    One place for the name→(trunk, towernum) wiring that the demo, the eval
+    harness, the bench tools and the training CLI all need.
+    """
+    if name not in TRUNKS:
+        raise ValueError(f"unknown model {name!r}; choose from {sorted(TRUNKS)}")
+    return FEARNet(trunk_blocks=TRUNKS[name],
+                   towernum=FAMILY_TOWERNUM[name] if towernum is None else towernum,
+                   dtype=dtype, bn_axis_name=bn_axis_name)
 
 
 class FEARNet(nn.Module):

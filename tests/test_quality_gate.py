@@ -112,6 +112,35 @@ def test_repo_trained_batched_letterboxed(suite, repo_tracker):
     assert res["ao"] >= 0.87, f"repo-trained batched AO regressed: {res['ao']:.4f}"
 
 
+@pytest.fixture(scope="module")
+def fear_m_tracker():
+    """The trained FEAR-M family checkpoint (round 5) — the first trained
+    FEAR-M anywhere (the reference's paper names it, its repo ships nothing —
+    ref README.md:28)."""
+    tracker, provenance = build_scan_tracker(
+        weights_path="fear_m_repo", model_name="fear_m")
+    if provenance not in ("fear_m_repo", "fear_m_repo.npz"):
+        pytest.skip("trained fear_m weights unavailable")
+    return tracker
+
+
+def test_fear_m_trained_sequential(suite, fear_m_tracker):
+    """fear_m_repo must keep beating the recovered reference on the gate
+    suite (measured 0.917 CPU / 0.926 TPU vs the reference's 0.85; floor
+    ~0.05 below CPU-measured, still above the reference checkpoint)."""
+    from feartracker_tpu.tracker.tracker import FEARTracker
+
+    tracker = FEARTracker(fear_m_tracker.model, fear_m_tracker.variables)
+    res = evaluate_tracker(tracker, suite)
+    assert res["ao"] >= 0.86, f"fear_m sequential AO regressed: {res['ao']:.4f}"
+
+
+def test_fear_m_trained_batched_letterboxed(suite, fear_m_tracker):
+    """Batched letterboxed path (measured 0.908 CPU / 0.904 TPU)."""
+    res = batched_evaluate(fear_m_tracker, suite, streams=SEQS, frame_hw=SMALL_CANVAS)
+    assert res["ao"] >= 0.85, f"fear_m batched AO regressed: {res['ao']:.4f}"
+
+
 def test_quality_gate_dual_template(suite, scan_tracker):
     """The dual-template path has its own quality floor: EMA@4 (the
     recommended appearance-morph configuration) on the same mini suite may
